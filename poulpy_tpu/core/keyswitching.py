@@ -1,0 +1,85 @@
+"""GLWE key switching (poulpy-core/src/keyswitching/glwe.rs).
+
+The hot primitive: DFT the mask limbs, gadget-contract against the prepared
+key matrix (VMP), inverse-DFT into the big accumulator, add the body, and
+carry-normalize — one linear pass in the number of limbs (stack §3.2 of
+SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from poulpy_tpu.core.layouts import GLWECiphertext, glwe_size
+from poulpy_tpu.core.prepared import GGLWEPrepared
+from poulpy_tpu.hal import dft
+from poulpy_tpu.hal.module import Module
+from poulpy_tpu.hal.normalization import vec_znx_normalize_full
+
+
+def gglwe_product_dft(
+    module: Module,
+    a_dft,                      # [..., cols_in, size_a, P, N]
+    key: GGLWEPrepared,
+):
+    """gglwe_product_dft (keyswitching/glwe.rs:253-378).
+
+    dsize == 1: a single VMP.  dsize > 1: bivariate convolution in
+    (X, Y=2^{-base2k·dsize}) by grouping limbs of a by digit residue:
+    res = Σ_di vmp(a[di::dsize-grouped], pmat, limb_offset=di), with the
+    reference's error-limb truncation optimization applied implicitly by
+    limiting output size.
+    """
+    dsize = key.dsize
+    pmat = key.pmat
+    if dsize == 1:
+        return dft.vmp_apply(module, a_dft, pmat)
+
+    dnum = key.dnum
+    a_size = a_dft.shape[-3]
+    res = None
+    for di in range(dsize):
+        ai_size = min((a_size + di) // dsize, dnum)
+        if ai_size == 0:
+            continue
+        ai = dft.dft_copy(a_dft, step=dsize, offset=dsize - di - 1, res_size=ai_size)
+        part = dft.vmp_apply(module, ai, pmat, limb_offset=di)
+        res = part if res is None else dft.dft_add(module, res, part)
+    return res
+
+
+def glwe_keyswitch(
+    module: Module,
+    a: GLWECiphertext,
+    key: GGLWEPrepared,
+    res_base2k: int | None = None,
+    res_k: int | None = None,
+) -> GLWECiphertext:
+    """glwe_keyswitch (keyswitching/glwe.rs:53-109 → internal :207-240):
+
+      a_dft[i] = DFT(a[i+1]);  res_dft = gglwe_product(a_dft, key);
+      res_big = iDFT(res_dft);  res_big[0] += a[0];  res = big_normalize.
+    """
+    res_base2k = a.base2k if res_base2k is None else res_base2k
+    res_k = a.k if res_k is None else res_k
+    res_size = glwe_size(res_base2k, res_k)
+
+    if a.base2k != key.base2k:
+        a = glwe_normalize(module, a, key.base2k, a.k)
+
+    a_dft = dft.dft_apply(module, a.data[..., 1:, :, :])
+    res_dft = gglwe_product_dft(module, a_dft, key)
+    res_big = dft.idft_apply(module, res_dft)
+    res_big = res_big.at[..., 0, :, :].add(
+        dft._align_limbs(a.data[..., 0, :, :], res_big[..., 0, :, :],
+                         res_big.shape[-2], limb_axis=-2)[0]
+    )
+    res = dft.big_normalize(module, res_size, res_base2k, res_big, key.base2k)
+    return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
+
+
+def glwe_normalize(
+    module: Module, a: GLWECiphertext, base2k: int, k: int
+) -> GLWECiphertext:
+    """Base-2^k conversion of a whole ciphertext (GLWENormalize)."""
+    size = glwe_size(base2k, k)
+    data = vec_znx_normalize_full(size, base2k, 0, a.data, a.base2k)
+    return GLWECiphertext(data=data, base2k=base2k, k=k)

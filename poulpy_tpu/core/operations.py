@@ -1,0 +1,168 @@
+"""GLWE arithmetic operations (poulpy-core/src/operations/glwe.rs):
+add/sub/negate/rotate/shift/normalize plus the tensor product and
+relinearization used by CKKS multiplication (glwe.rs:233-545).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext, glwe_size
+from poulpy_tpu.core.prepared import GLWETensorKeyPrepared
+from poulpy_tpu.hal import dft
+from poulpy_tpu.hal.module import Module
+from poulpy_tpu.hal.normalization import vec_znx_normalize, vec_znx_normalize_full
+from poulpy_tpu.hal.vec_znx import (
+    vec_znx_add,
+    vec_znx_automorphism,
+    vec_znx_mul_xp_minus_one,
+    vec_znx_rotate,
+    vec_znx_sub,
+)
+
+
+def _binary(ct_a: GLWECiphertext, ct_b: GLWECiphertext, op):
+    assert ct_a.base2k == ct_b.base2k, "align base2k first (glwe_normalize)"
+    k = max(ct_a.k, ct_b.k)
+    size = glwe_size(ct_a.base2k, k)
+    data = op(ct_a.data, ct_b.data, size)
+    return GLWECiphertext(data=data, base2k=ct_a.base2k, k=k)
+
+
+def glwe_add(a: GLWECiphertext, b: GLWECiphertext) -> GLWECiphertext:
+    return _binary(a, b, lambda x, y, s: vec_znx_add(x, y, res_size=s))
+
+
+def glwe_sub(a: GLWECiphertext, b: GLWECiphertext) -> GLWECiphertext:
+    return _binary(a, b, lambda x, y, s: vec_znx_sub(x, y, res_size=s))
+
+
+def glwe_negate(a: GLWECiphertext) -> GLWECiphertext:
+    return a.replace(data=-a.data)
+
+
+def glwe_add_plain(a: GLWECiphertext, pt: GLWEPlaintext) -> GLWECiphertext:
+    assert a.base2k == pt.base2k
+    body = vec_znx_add(a.data[..., 0, :, :], pt.data, res_size=a.size)
+    return a.replace(data=a.data.at[..., 0, :, :].set(body))
+
+
+def glwe_sub_plain(a: GLWECiphertext, pt: GLWEPlaintext) -> GLWECiphertext:
+    assert a.base2k == pt.base2k
+    body = vec_znx_sub(a.data[..., 0, :, :], pt.data, res_size=a.size)
+    return a.replace(data=a.data.at[..., 0, :, :].set(body))
+
+
+def glwe_rotate(p, a: GLWECiphertext) -> GLWECiphertext:
+    """ct · X^p (operations/glwe.rs rotate). `p` may be traced/batched."""
+    return a.replace(data=vec_znx_rotate(p, a.data))
+
+
+def glwe_mul_xp_minus_one(p, a: GLWECiphertext) -> GLWECiphertext:
+    """(X^p − 1)·ct — the CGGI accumulator update."""
+    return a.replace(data=vec_znx_mul_xp_minus_one(p, a.data))
+
+
+def glwe_lsh(k_shift: int, a: GLWECiphertext) -> GLWECiphertext:
+    """ct · 2^{k_shift} (the CKKS rescale primitive, operations/glwe.rs:1114)."""
+    data = vec_znx_normalize_full(a.size, a.base2k, k_shift, a.data, a.base2k)
+    return a.replace(data=data)
+
+
+def glwe_rsh(k_shift: int, a: GLWECiphertext) -> GLWECiphertext:
+    data = vec_znx_normalize_full(a.size, a.base2k, -k_shift, a.data, a.base2k)
+    return a.replace(data=data)
+
+
+def glwe_normalize_inplace(a: GLWECiphertext) -> GLWECiphertext:
+    return a.replace(data=vec_znx_normalize(a.base2k, a.data))
+
+
+def glwe_mul_scalar(c: int, a: GLWECiphertext) -> GLWECiphertext:
+    """Multiply by a small integer constant, renormalized."""
+    return a.replace(data=vec_znx_normalize(a.base2k, a.data * jnp.int64(c)))
+
+
+# --------------------------------------------------------------------------
+# Tensor product + relinearization (CKKS multiplication core)
+# --------------------------------------------------------------------------
+
+def glwe_tensor_product_big(
+    module: Module, a: GLWECiphertext, b: GLWECiphertext, res_size: int
+):
+    """Pairwise bivariate convolution of ciphertext polys
+    (glwe_tensor_apply, operations/glwe.rs:233-296 using cnv_apply_dft).
+
+    For rank-1 inputs (a0, a1) ⊗ (b0, b1) returns big-domain
+    (d0, d1, d2) = (a0·b0, a0·b1 + a1·b0, a1·b1) — decryptable under
+    (1, s, s²).  General rank returns all symmetric products.
+    """
+    rank = a.rank
+    a_prep = dft.cnv_prepare_left(module, a.data)
+    b_prep = dft.cnv_prepare_right(module, b.data)
+
+    def conv(i, j):
+        return dft.cnv_apply(
+            module, a_prep[..., i, :, :, :], b_prep[..., j, :, :, :], res_size
+        )
+
+    terms = {}
+    # d_0 = a0 b0 ; d_i = a0 b_i + a_i b0 ; d_{ij} = a_i b_j + a_j b_i (i<j),
+    # d_{ii} = a_i b_i
+    out = [conv(0, 0)]
+    for i in range(1, rank + 1):
+        out.append(dft.dft_add(module, conv(0, i), conv(i, 0)))
+    for i in range(1, rank + 1):
+        for j in range(i, rank + 1):
+            t = conv(i, j)
+            if i != j:
+                t = dft.dft_add(module, t, conv(j, i))
+            terms[(i - 1, j - 1)] = t
+    lin = [dft.idft_apply(module, x) for x in out]
+    quad = {k: dft.idft_apply(module, v) for k, v in terms.items()}
+    return lin, quad
+
+
+def glwe_tensor_relinearize(
+    module: Module,
+    a: GLWECiphertext,
+    b: GLWECiphertext,
+    tensor_key: GLWETensorKeyPrepared,
+    res_base2k: int | None = None,
+    res_k: int | None = None,
+) -> GLWECiphertext:
+    """Full ct×ct multiply: tensor product then keyswitch each s_i·s_j term
+    back to the base key (glwe_tensor_relinearize, operations/glwe.rs:545)."""
+    from poulpy_tpu.core.keyswitching import gglwe_product_dft
+
+    assert a.base2k == b.base2k
+    base2k = a.base2k
+    res_base2k = base2k if res_base2k is None else res_base2k
+    res_k = min(a.k + b.k, a.size * base2k + b.size * base2k) if res_k is None else res_k
+    rank = a.rank
+
+    conv_size = a.size + b.size - 1
+    lin, quad = glwe_tensor_product_big(module, a, b, conv_size)
+
+    # Normalize the quadratic terms and keyswitch them through the tensor key
+    res_size = glwe_size(res_base2k, res_k)
+    acc = None
+    for (i, j), big in quad.items():
+        key = tensor_key.keys[(min(i, j), max(i, j))]
+        d = dft.big_normalize(module, key.dnum * key.dsize, key.base2k, big, base2k)
+        d_dft = dft.dft_apply(module, d[..., None, :, :])
+        part = gglwe_product_dft(module, d_dft, key)
+        acc = part if acc is None else dft.dft_add(module, acc, part)
+
+    ks_big = dft.idft_apply(module, acc)  # [..., rank+1, size_key, N]
+    # add linear terms: body gets d0, column i gets d_i
+    big_cols = []
+    for c in range(rank + 1):
+        col = ks_big[..., c, :, :]
+        add = lin[c]
+        m = max(col.shape[-2], add.shape[-2])
+        col, add = dft._align_limbs(col, add, m, limb_axis=-2)
+        big_cols.append(col + add)
+    res_big = jnp.stack(big_cols, axis=-3)
+    data = dft.big_normalize(module, res_size, res_base2k, res_big, base2k)
+    return GLWECiphertext(data=data, base2k=res_base2k, k=res_k)

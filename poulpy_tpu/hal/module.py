@@ -1,0 +1,63 @@
+"""Module: the per-ring-degree backend handle.
+
+Equivalent of the reference `Module<B>` (poulpy-hal/src/layouts/module.rs:97-101)
+= ring degree N + backend handle (twiddle tables).  Here the handle is a set
+of device-resident NTT twiddle/CRT constant arrays for a chosen prime basis,
+plus cached Galois permutations.  A Module is cheap to create per (N, basis)
+and is captured as a closure constant by jitted pipelines.
+"""
+
+from __future__ import annotations
+
+import functools
+
+from poulpy_tpu.hal.ntt import NttTables
+from poulpy_tpu.hal.primes import LOG_N_MAX, PrimeBasis, ntt_primes
+
+GALOIS_GENERATOR = 5  # poulpy-hal/src/layouts/module.rs:214 (GALOISGENERATOR)
+
+
+class Module:
+    """Backend handle: ring degree + CRT-NTT tables.
+
+    `nprimes` bounds the exact accumulation range (see
+    `hal.primes.required_nprimes`); 4 primes (~120 bits) cover every
+    reference benchmark configuration (N ≤ 2^16, base2k ≤ 26).
+    """
+
+    def __init__(self, n: int, nprimes: int = 4):
+        assert n & (n - 1) == 0 and 4 <= n <= (1 << LOG_N_MAX)
+        self.n = n
+        self.log_n = n.bit_length() - 1
+        self.basis = PrimeBasis(ntt_primes(nprimes))
+        self.tables = NttTables(self.basis, n)
+
+    @property
+    def nprimes(self) -> int:
+        return self.basis.nprimes
+
+    def max_base2k(self, log_rows: int = 7) -> int:
+        """Largest base2k with guaranteed-exact VMP accumulation."""
+        bits = self.basis.modulus.bit_length() - 1
+        return (bits - self.log_n - log_rows - 2 + 2) // 2
+
+    # -- Galois helpers (module.rs:214-258) --------------------------------
+
+    def galois_element(self, generator_exp: int) -> int:
+        """5^|exp| (or its inverse for negative exp) mod 2N."""
+        two_n = 2 * self.n
+        g = pow(GALOIS_GENERATOR, abs(generator_exp), two_n)
+        if generator_exp < 0:
+            g = pow(g, -1, two_n)
+        return g
+
+    def galois_element_inv(self, gal_el: int) -> int:
+        return pow(gal_el, -1, 2 * self.n)
+
+    def __repr__(self):
+        return f"Module(n={self.n}, primes={self.basis.primes})"
+
+
+@functools.lru_cache(maxsize=None)
+def get_module(n: int, nprimes: int = 4) -> Module:
+    return Module(n, nprimes)

@@ -1,0 +1,338 @@
+"""Kernel-layer tests: NTT exactness, normalization, znx ops, encode/decode.
+
+Oracles: exact Python big-int arithmetic (tests/oracle.py), mirroring the
+reference's arbitrary-precision test strategy (SURVEY.md §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from poulpy_tpu.hal import dft, vec_znx, znx
+from poulpy_tpu.hal.module import get_module
+from poulpy_tpu.hal.normalization import vec_znx_normalize, vec_znx_normalize_full
+from poulpy_tpu.hal.ntt import garner_lift, ntt_forward, ntt_inverse, to_mont, to_residues
+from poulpy_tpu.hal.source import Source
+
+from oracle import (
+    int_to_balanced_limbs,
+    limbs_to_int,
+    negacyclic_mul,
+    vec_value_mod1,
+)
+
+RNG = np.random.default_rng(0)
+
+
+# --------------------------------------------------------------------------
+# Source
+# --------------------------------------------------------------------------
+
+def test_source_deterministic_and_branch():
+    s1 = Source(bytes(32))
+    s2 = Source(bytes(32))
+    assert s1.next_u64() == s2.next_u64()
+    a = s1.u64_array(100)
+    b = s2.u64_array(100)
+    assert np.array_equal(a, b)
+    seed, child = s1.branch()
+    assert len(seed) == 32
+    # child stream differs from parent continuation
+    assert child.next_u64() != s1.next_u64()
+
+
+def test_source_uniform_digits_range():
+    s = Source(bytes(range(32)))
+    x = s.uniform_digits(17, (1000,))
+    assert x.min() >= -(1 << 16) and x.max() < (1 << 16)
+    # roughly centered
+    assert abs(x.mean()) < (1 << 16) / 10
+
+
+def test_source_normal():
+    s = Source(bytes(range(32)))
+    x = s.normal_f64((20000,), sigma=3.2, bound=19.2)
+    assert np.abs(x).max() <= 19.2
+    assert abs(np.std(x) - 3.2) < 0.1
+
+
+# --------------------------------------------------------------------------
+# NTT
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [16, 64, 256])
+@pytest.mark.parametrize("nprimes", [2, 4])
+def test_ntt_roundtrip(n, nprimes):
+    m = get_module(n, nprimes)
+    t = m.tables
+    x = jnp.asarray(RNG.integers(-(2**60), 2**60, size=(3, n), dtype=np.int64))
+    r = to_residues(t, x)
+    back = ntt_inverse(t, ntt_forward(t, r))
+    assert np.array_equal(np.asarray(back), np.asarray(r))
+
+
+@pytest.mark.parametrize("n", [16, 128])
+def test_ntt_negacyclic_product_exact(n):
+    """NTT pointwise product + Garner lift == exact big-int negacyclic mul."""
+    m = get_module(n, 4)
+    t = m.tables
+    a = RNG.integers(-(2**25), 2**25, size=n, dtype=np.int64)
+    b = RNG.integers(-(2**25), 2**25, size=n, dtype=np.int64)
+    want = negacyclic_mul([int(v) for v in a], [int(v) for v in b])
+    a_dft = ntt_forward(t, to_residues(t, jnp.asarray(a)))
+    b_mont = to_mont(t, ntt_forward(t, to_residues(t, jnp.asarray(b))))
+    from poulpy_tpu.hal.ntt import mont_mul
+
+    prod = mont_mul(a_dft, b_mont, t.p[:, None], t.qinv[:, None])
+    have = np.asarray(garner_lift(t, ntt_inverse(t, prod)))
+    assert [int(v) for v in have] == want
+
+
+def test_garner_lift_centered():
+    m = get_module(16, 4)
+    t = m.tables
+    vals = jnp.asarray(
+        RNG.integers(-(2**62), 2**62, size=(5, 16), dtype=np.int64)
+    )
+    r = to_residues(t, vals)
+    back = garner_lift(t, r)
+    assert np.array_equal(np.asarray(back), np.asarray(vals))
+
+
+# --------------------------------------------------------------------------
+# znx ops
+# --------------------------------------------------------------------------
+
+def test_rotate_matches_naive():
+    n = 16
+    a = RNG.integers(-100, 100, size=n, dtype=np.int64)
+    for p in [0, 1, 5, n - 1, n, n + 3, 2 * n - 1, -1, -7, -n, 3 * n + 2]:
+        have = np.asarray(znx.znx_rotate(p, jnp.asarray(a)))
+        want = np.zeros(n, dtype=np.int64)
+        for i, ai in enumerate(a):  # a_i X^i · X^p
+            k = (i + p) % (2 * n)
+            if k < n:
+                want[k] += ai
+            else:
+                want[k - n] -= ai
+        assert np.array_equal(have, want), p
+
+
+def test_rotate_batched_traced():
+    n = 16
+    a = RNG.integers(-100, 100, size=(4, n), dtype=np.int64)
+    ps = np.array([1, 5, -3, 17], dtype=np.int64)
+    have = np.asarray(znx.znx_rotate(jnp.asarray(ps), jnp.asarray(a)))
+    for b in range(4):
+        want = np.asarray(znx.znx_rotate(int(ps[b]), jnp.asarray(a[b])))
+        assert np.array_equal(have[b], want)
+
+
+def test_automorphism_matches_naive():
+    n = 16
+    a = RNG.integers(-100, 100, size=n, dtype=np.int64)
+    for p in [1, 3, 5, 7, 15, 31, 2 * n - 1]:
+        have = np.asarray(znx.znx_automorphism(p, jnp.asarray(a)))
+        want = np.zeros(n, dtype=np.int64)
+        for i, ai in enumerate(a):  # a_i X^i -> a_i X^{i·p}
+            k = (i * p) % (2 * n)
+            if k < n:
+                want[k] += ai
+            else:
+                want[k - n] -= ai
+        assert np.array_equal(have, want), p
+
+
+def test_automorphism_composes_with_rotate():
+    # φ_p(a · X^t) = φ_p(a) · X^{t·p}
+    n = 32
+    a = jnp.asarray(RNG.integers(-100, 100, size=n, dtype=np.int64))
+    p, tshift = 5, 3
+    lhs = znx.znx_automorphism(p, znx.znx_rotate(tshift, a))
+    rhs = znx.znx_rotate(tshift * p, znx.znx_automorphism(p, a))
+    assert np.array_equal(np.asarray(lhs), np.asarray(rhs))
+
+
+# --------------------------------------------------------------------------
+# Normalization
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("base2k", [5, 17, 22])
+@pytest.mark.parametrize("size", [1, 3, 6])
+def test_normalize_preserves_value_and_balances(base2k, size):
+    n = 8
+    a = RNG.integers(-(2**55), 2**55, size=(size, n), dtype=np.int64)
+    have = np.asarray(vec_znx_normalize(base2k, jnp.asarray(a)))
+    # digits balanced
+    half = 1 << (base2k - 1)
+    assert have.min() >= -half and have.max() < half
+    # value preserved mod 1
+    assert vec_value_mod1(have, base2k) == vec_value_mod1(a, base2k)
+
+
+@pytest.mark.parametrize("offset", [0, 3, 17, 40, -3, -17, -40])
+def test_normalize_full_offset(offset):
+    base2k, size, n = 17, 4, 8
+    a = RNG.integers(-(2**40), 2**40, size=(size, n), dtype=np.int64)
+    have = np.asarray(
+        vec_znx_normalize_full(size, base2k, offset, jnp.asarray(a), base2k)
+    )
+    half = 1 << (base2k - 1)
+    assert have.min() >= -half and have.max() < half
+    tot = size * base2k
+    mod = 1 << tot
+    # the shift applies to the concrete (uncentered) limb composition — a
+    # right shift on the torus depends on the representative, exactly as in
+    # the reference's rsh (vec_znx/shift.rs operates on raw limbs)
+    want_vals = limbs_to_int(a, base2k)
+    have_vals = vec_value_mod1(have, base2k)
+    for hv, wv in zip(have_vals, want_vals):
+        shifted = (wv * (1 << offset)) if offset >= 0 else (wv >> (-offset))
+        diff = (hv - shifted) % mod
+        diff = min(diff, mod - diff)
+        assert diff <= size + 1, (hv, wv, offset)
+
+
+@pytest.mark.parametrize("kr,ka", [(17, 22), (22, 17), (13, 26)])
+@pytest.mark.parametrize("res_size,a_size", [(4, 4), (3, 5), (6, 3)])
+def test_normalize_full_cross_base(kr, ka, res_size, a_size):
+    n = 8
+    a = RNG.integers(-(2**40), 2**40, size=(a_size, n), dtype=np.int64)
+    have = np.asarray(
+        vec_znx_normalize_full(res_size, kr, 0, jnp.asarray(a), ka)
+    )
+    half = 1 << (kr - 1)
+    assert have.min() >= -half and have.max() < half
+    # compare torus values as fractions with tolerance 2^{-res_tot+4}
+    a_vals = vec_value_mod1(a, ka)
+    h_vals = vec_value_mod1(have, kr)
+    a_tot = a_size * ka
+    r_tot = res_size * kr
+    for hv, av in zip(h_vals, a_vals):
+        # compare hv/2^r_tot vs av/2^a_tot mod 1
+        lcm_tot = max(a_tot, r_tot)
+        d = (hv << (lcm_tot - r_tot)) - (av << (lcm_tot - a_tot))
+        d %= 1 << lcm_tot
+        d = min(d, (1 << lcm_tot) - d)
+        assert d <= (1 << max(0, lcm_tot - min(a_tot, r_tot) + 4)), (hv, av)
+
+
+# --------------------------------------------------------------------------
+# encode / decode
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("base2k,k", [(17, 34), (17, 51), (22, 30), (17, 10)])
+def test_encode_decode_roundtrip(base2k, k):
+    n = 16
+    size = 4
+    lim = 1 << min(k - 1, 40)
+    data = RNG.integers(-lim, lim, size=n, dtype=np.int64)
+    enc = vec_znx.encode_vec_i64(base2k, k, size, jnp.asarray(data))
+    half = 1 << (base2k - 1)
+    e = np.asarray(enc)
+    assert e.min() >= -half and e.max() < half
+    dec = np.asarray(vec_znx.decode_vec_i64(base2k, k, enc))
+    assert np.array_equal(dec, data)
+
+
+def test_lsh_rsh_inverse():
+    base2k, size, n, k = 17, 5, 8, 13
+    data = RNG.integers(-(2**30), 2**30, size=n, dtype=np.int64)
+    enc = vec_znx.encode_vec_i64(base2k, 60, size, jnp.asarray(data))
+    up = vec_znx.vec_znx_lsh(base2k, k, enc)
+    back = vec_znx.vec_znx_rsh(base2k, k, up)
+    dec = np.asarray(vec_znx.decode_vec_i64(base2k, 60, back))
+    assert np.max(np.abs(dec - data)) <= 1
+
+
+# --------------------------------------------------------------------------
+# DFT-layer ops
+# --------------------------------------------------------------------------
+
+def test_svp_apply_exact():
+    n, size, base2k = 32, 3, 17
+    m = get_module(n, 4)
+    a = RNG.integers(-(2**16), 2**16, size=(size, n), dtype=np.int64)
+    s = RNG.integers(-1, 2, size=n, dtype=np.int64)
+    a_dft = dft.dft_apply(m, jnp.asarray(a))
+    s_p = dft.svp_prepare(m, jnp.asarray(s))
+    prod = dft.svp_apply(m, a_dft, s_p)
+    big = np.asarray(dft.idft_apply(m, prod))
+    for j in range(size):
+        want = negacyclic_mul([int(v) for v in a[j]], [int(v) for v in s])
+        assert [int(v) for v in big[j]] == want
+
+
+def test_vmp_apply_exact():
+    n, base2k = 16, 17
+    rows, cols_in, cols_out, size = 3, 2, 2, 4
+    m = get_module(n, 4)
+    a = RNG.integers(-(2**16), 2**16, size=(cols_in, size, n), dtype=np.int64)
+    mat = RNG.integers(
+        -(2**16), 2**16, size=(rows, cols_in, cols_out, size, n), dtype=np.int64
+    )
+    a_dft = dft.dft_apply(m, jnp.asarray(a))
+    pmat = dft.vmp_prepare(m, jnp.asarray(mat))
+    res = dft.vmp_apply(m, a_dft, pmat)
+    big = np.asarray(dft.idft_apply(m, res))
+    rmax = min(rows, size)
+    for co in range(cols_out):
+        for j in range(size):
+            want = [0] * n
+            for ci in range(cols_in):
+                for r in range(rmax):
+                    t = negacyclic_mul(
+                        [int(v) for v in a[ci, r]],
+                        [int(v) for v in mat[r, ci, co, j]],
+                    )
+                    want = [x + y for x, y in zip(want, t)]
+            assert [int(v) for v in big[co, j]] == want, (co, j)
+
+
+def test_vmp_apply_limb_offset():
+    n = 16
+    rows, cols_in, cols_out, size = 2, 1, 1, 4
+    m = get_module(n, 4)
+    a = RNG.integers(-(2**10), 2**10, size=(cols_in, size, n), dtype=np.int64)
+    mat = RNG.integers(
+        -(2**10), 2**10, size=(rows, cols_in, cols_out, size, n), dtype=np.int64
+    )
+    a_dft = dft.dft_apply(m, jnp.asarray(a))
+    pmat = dft.vmp_prepare(m, jnp.asarray(mat))
+    res0 = np.asarray(dft.idft_apply(m, dft.vmp_apply(m, a_dft, pmat, limb_offset=0)))
+    res1 = np.asarray(dft.idft_apply(m, dft.vmp_apply(m, a_dft, pmat, limb_offset=1)))
+    # limb_offset=1 drops output limb 0 and shifts the window
+    assert np.array_equal(res1[:, :-1], res0[:, 1:])
+    assert np.all(res1[:, -1] == 0)
+
+
+def test_cnv_apply_exact():
+    n, sa, sb = 16, 3, 2
+    m = get_module(n, 4)
+    a = RNG.integers(-(2**16), 2**16, size=(sa, n), dtype=np.int64)
+    b = RNG.integers(-(2**16), 2**16, size=(sb, n), dtype=np.int64)
+    ap = dft.cnv_prepare_left(m, jnp.asarray(a))
+    bp = dft.cnv_prepare_right(m, jnp.asarray(b))
+    res = np.asarray(dft.idft_apply(m, dft.cnv_apply(m, ap, bp, sa + sb - 1)))
+    for k in range(sa + sb - 1):
+        want = [0] * n
+        for i in range(sa):
+            j = k - i
+            if 0 <= j < sb:
+                t = negacyclic_mul([int(v) for v in a[i]], [int(v) for v in b[j]])
+                want = [x + y for x, y in zip(want, t)]
+        assert [int(v) for v in res[k]] == want
+
+
+def test_dft_apply_step_offset():
+    n, size = 16, 7
+    m = get_module(n, 2)
+    a = jnp.asarray(RNG.integers(-100, 100, size=(size, n), dtype=np.int64))
+    full = dft.dft_apply(m, a)
+    sub = dft.dft_apply(m, a, step=3, offset=1)
+    assert sub.shape[-3] == 3
+    assert np.array_equal(np.asarray(sub[0]), np.asarray(full[1]))
+    assert np.array_equal(np.asarray(sub[1]), np.asarray(full[4]))
+    # limb offset+2·step = 7 ≥ a_size → zeroed (vec_znx_dft.rs:185-188)
+    assert np.all(np.asarray(sub[2]) == 0)
