@@ -1,0 +1,112 @@
+"""Headline benchmark: batched GLWE external products per second per chip.
+
+Runs on whatever jax.devices() provides (the real TPU chip under the
+driver).  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Configuration mirrors BASELINE.json config 3 territory: N=2048, base2k=17,
+ct k=51 (3 limbs), GGSW k=68 (dnum 3, rank 1, dsize 1) — the CGGI blind
+rotation inner loop.  Throughput comes from the batch axis: one jitted
+pipeline evaluates B external products at once.
+
+`vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
+denominator is an order-of-magnitude estimate of poulpy-cpu-avx single-core
+throughput for the same op (~30k ext-products/s at N=2048: ~3µs AVX2
+FFT(2048) × 8 forward/inverse transforms + vmp).  See BENCH_NOTES.md.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+from poulpy_tpu.core import encryption as enc
+from poulpy_tpu.core.external_product import glwe_external_product
+from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext
+from poulpy_tpu.core.prepared import ggsw_prepare, glwe_secret_prepare
+from poulpy_tpu.hal import vec_znx
+from poulpy_tpu.hal.module import get_module
+from poulpy_tpu.hal.source import Source
+
+AVX2_BASELINE_EXT_PRODUCTS_PER_S = 30_000.0
+
+N = 2048
+BASE2K = 17
+K_CT = 51
+K_KEY = 68
+DNUM = 3
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+NPRIMES = 2  # 2·30-bit primes cover N=2048, base2k=17 exactly (primes.py)
+
+
+def main():
+    dev = jax.devices()[0]
+    m = get_module(N, NPRIMES)
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    sk = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk)
+
+    data = np.random.default_rng(0).integers(
+        -(2**15), 2**15, size=(BATCH, N), dtype=np.int64
+    )
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(BASE2K, 34, 3, jnp.asarray(data)),
+        base2k=BASE2K,
+        k=34,
+    )
+    ct = enc.glwe_encrypt_sk(
+        m, pt, skp, BASE2K, K_CT, xe, xa, batch_shape=(BATCH,)
+    )
+    ptg = np.zeros(N, dtype=np.int64)
+    ptg[1] = 1
+    ggsw = enc.ggsw_encrypt_sk(
+        m, jnp.asarray(ptg), skp, BASE2K, K_KEY, dnum=DNUM,
+        source_xe=xe, source_xa=xa,
+    )
+    ggswp = ggsw_prepare(m, ggsw)
+
+    ct_data = jax.device_put(ct.data, dev)
+    pmat = jax.device_put(ggswp.pmat, dev)
+
+    @jax.jit
+    def step(ct_data, pmat):
+        a = GLWECiphertext(data=ct_data, base2k=BASE2K, k=K_CT)
+        g = ggswp.replace(pmat=pmat)
+        return glwe_external_product(m, a, g).data
+
+    out = step(ct_data, pmat)
+    jax.block_until_ready(out)  # compile + warm
+
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(out, pmat)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    ops_per_s = BATCH * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "external_products_per_s_chip_n2048",
+                "value": round(ops_per_s, 1),
+                "unit": "ext-products/s",
+                "vs_baseline": round(
+                    ops_per_s / AVX2_BASELINE_EXT_PRODUCTS_PER_S, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

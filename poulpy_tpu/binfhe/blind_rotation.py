@@ -1,0 +1,161 @@
+"""CGGI blind rotation
+(poulpy-bin-fhe/src/blind_rotation/algorithms/cggi/algorithm.rs).
+
+Standard path (algorithm.rs:370-443):
+    acc ← X^b · LUT
+    for each LWE coeff a_i:  acc += (X^{a_i} − 1)·(BRK_i ⊡ acc)
+    normalize once at the end.
+
+TPU-first realization: the loop is a `lax.scan` over the stacked prepared
+GGSW key tensor; rotation amounts are traced per batch element, so one
+compiled scan evaluates an entire batch of blind rotations (the
+gate-bootstraps/s axis).
+"""
+
+from __future__ import annotations
+
+import flax.struct as struct
+import jax
+import jax.numpy as jnp
+
+from poulpy_tpu.core.encryption import ggsw_encrypt_sk
+from poulpy_tpu.core.layouts import LWECiphertext, glwe_size
+from poulpy_tpu.core.prepared import GLWESecretPrepared
+from poulpy_tpu.binfhe.lut import LookupTable
+from poulpy_tpu.hal import dft
+from poulpy_tpu.hal.module import Module
+from poulpy_tpu.hal.normalization import vec_znx_normalize
+from poulpy_tpu.hal.vec_znx import vec_znx_rotate
+
+
+def _static(**kw):
+    return struct.field(pytree_node=False, **kw)
+
+
+@struct.dataclass
+class BlindRotationKeyPrepared:
+    """One prepared GGSW per LWE secret coefficient, stacked:
+    pmats [n_lwe, dnum, rank+1, rank+1, size, P, N]
+    (blind_rotation/layouts/key.rs:149-153 + prepared form)."""
+
+    pmats: jnp.ndarray
+    base2k: int = _static()
+    k: int = _static()
+    dsize: int = _static(default=1)
+    dist: str = _static(default="binary_prob")
+
+    @property
+    def n_lwe(self) -> int:
+        return self.pmats.shape[0]
+
+    @property
+    def rank(self) -> int:
+        return self.pmats.shape[-4] - 1
+
+
+def blind_rotation_key_encrypt_sk(
+    module: Module,
+    sk_lwe,                  # [n_lwe] binary secret
+    sk_glwe: GLWESecretPrepared,
+    base2k: int,
+    k: int,
+    dnum: int,
+    source_xe,
+    source_xa,
+    dsize: int = 1,
+    **kw,
+) -> BlindRotationKeyPrepared:
+    """BRK: GGSW(s_lwe[i]) for every i, batched through one keygen call
+    (blind_rotation/encryption/)."""
+    n_lwe = sk_lwe.shape[-1]
+    pt = jnp.zeros((n_lwe, module.n), jnp.int64).at[:, 0].set(
+        jnp.asarray(sk_lwe)
+    )
+    ggsw = ggsw_encrypt_sk(
+        module, pt, sk_glwe, base2k, k, dnum, source_xe, source_xa,
+        dsize=dsize, **kw,
+    )
+    pmats = dft.vmp_prepare(module, ggsw.data)
+    return BlindRotationKeyPrepared(
+        pmats=pmats, base2k=base2k, k=k, dsize=dsize
+    )
+
+
+def mod_switch_2n(two_n: int, lwe: LWECiphertext, rot_dir: str = "left"):
+    """Round an LWE to Z_{2N} indices (algorithms/mod.rs:136-171).
+
+    Returns int64 `[..., n_lwe+1]` with (b, a_1..a_n) in [-N, N].
+    """
+    base2k = lwe.base2k
+    log2n = two_n.bit_length()  # == log2(two_n) + 1 for power of two
+    x = lwe.data[..., 0, :]
+    if rot_dir == "left":
+        x = -x
+    if base2k > log2n:
+        diff = base2k - (log2n - 1)
+        return (x + (1 << (diff - 1))) >> diff
+    size = -(-log2n // base2k)
+    rem = base2k - (log2n % base2k)
+    data = lwe.data if rot_dir != "left" else -lwe.data
+    y = data[..., 0, :]
+    for i in range(1, size):
+        if i == size - 1 and rem != base2k:
+            k_rem = base2k - rem
+            y = (y << k_rem) + (data[..., i, :] >> rem)
+        else:
+            y = (y << base2k) + data[..., i, :]
+    return y
+
+
+def blind_rotation_execute(
+    module: Module,
+    lwe: LWECiphertext,
+    lut: LookupTable,
+    brk: BlindRotationKeyPrepared,
+    res_k: int | None = None,
+):
+    """Standard CGGI path (algorithm.rs:370-443) as a scanned batch op.
+
+    Returns GLWE data `[..., rank+1, size, N]` (base2k = brk.base2k)
+    encrypting X^{-dec(lwe)}·LUT.  Only extension_factor == 1 supported here
+    (the block-binary / extended paths are separate follow-ups).
+    """
+    assert lut.extension_factor == 1
+    n = module.n
+    base2k = brk.base2k
+    res_k = lut.size * base2k if res_k is None else res_k
+    size = lut.size
+    rank = brk.rank
+
+    lwe_2n = mod_switch_2n(2 * n, lwe, lut.rot_dir)
+    b = lwe_2n[..., 0]
+    a = lwe_2n[..., 1:]
+    batch = b.shape
+
+    # acc: [..., rank+1, size, N]; body = X^b · LUT, mask = 0
+    # (p broadcasts per batch element over the limb axis, hence [..., None])
+    body = vec_znx_rotate(b[..., None] if batch else b, lut.data[0])
+    if batch:
+        body_col = body[..., None, :, :]
+        mask = jnp.zeros(batch + (rank, size, n), jnp.int64)
+        acc0 = jnp.concatenate([body_col, mask], axis=-3)
+    else:
+        acc0 = jnp.concatenate(
+            [body[None], jnp.zeros((rank, size, n), jnp.int64)], axis=0
+        )
+
+    t = module.tables
+
+    def step(acc, inputs):
+        a_i, pmat_i = inputs
+        a_dft = dft.dft_apply(module, acc)
+        res_dft = dft.vmp_apply(module, a_dft, pmat_i)
+        big = dft.idft_apply(module, res_dft)
+        tmp = dft.big_normalize(module, size, base2k, big, base2k)
+        p = a_i[..., None, None] if batch else a_i
+        upd = vec_znx_rotate(p, tmp) - tmp
+        return acc + upd, None
+
+    a_scan = jnp.moveaxis(a, -1, 0)                    # [n_lwe, ...batch]
+    acc, _ = jax.lax.scan(step, acc0, (a_scan, brk.pmats))
+    return vec_znx_normalize(base2k, acc)

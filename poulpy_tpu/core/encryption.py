@@ -82,6 +82,37 @@ def _add_noise(c0, base2k: int, noise: NoiseInfos, source: Source):
     return c0.at[..., limb, :].add(jnp.asarray(e.astype(np.int64)))
 
 
+import functools
+
+import jax
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("module", "base2k", "size", "pt_col", "noise_limb"),
+)
+def _encrypt_core(module, base2k, size, pt_col, noise_limb, mask, e, pt, sk_data):
+    """Deterministic encryption arithmetic, jitted once per shape
+    (randomness is sampled host-side and passed in)."""
+    rank = mask.shape[-3]
+    c0 = jnp.zeros(mask.shape[:-3] + mask.shape[-2:], jnp.int64)
+    for i in range(1, rank + 1):
+        ci = mask[..., i - 1, :, :]
+        if pt is not None and pt_col == i:
+            ci = vec_znx_normalize(base2k, vec_znx_sub(ci, pt, res_size=size))
+        ci_dft = dft.dft_apply(module, ci)
+        ci_dft = dft.svp_apply(module, ci_dft, sk_data[i - 1])
+        ci_big = dft.idft_apply(module, ci_dft)
+        ci_n = dft.big_normalize(module, size, base2k, ci_big, base2k)
+        c0 = c0 - ci_n
+
+    c0 = c0.at[..., noise_limb, :].add(e)
+    if pt is not None and pt_col == 0:
+        c0 = vec_znx_sub(c0, -pt, res_size=size)  # c0 += pt, padded to size
+    c0 = vec_znx_normalize(base2k, c0)
+    return jnp.concatenate([c0[..., None, :, :], mask], axis=-3)
+
+
 def encrypt_sk_internal(
     module: Module,
     base2k: int,
@@ -109,22 +140,13 @@ def encrypt_sk_internal(
     mask = jnp.asarray(
         source_xa.uniform_digits(base2k, batch_shape + (rank, size, n))
     )
-    c0 = jnp.zeros(batch_shape + (size, n), jnp.int64)
-    for i in range(1, rank + 1):
-        ci = mask[..., i - 1, :, :]
-        if pt is not None and pt_col == i:
-            ci = vec_znx_normalize(base2k, vec_znx_sub(ci, pt, res_size=size))
-        ci_dft = dft.dft_apply(module, ci)
-        ci_dft = dft.svp_apply(module, ci_dft, sk.data[i - 1])
-        ci_big = dft.idft_apply(module, ci_dft)
-        ci_n = dft.big_normalize(module, size, base2k, ci_big, base2k)
-        c0 = c0 - ci_n
-
-    c0 = _add_noise(c0, base2k, noise, source_xe)
-    if pt is not None and pt_col == 0:
-        c0 = vec_znx_sub(c0, -pt, res_size=size)  # c0 += pt, padded to size
-    c0 = vec_znx_normalize(base2k, c0)
-    return jnp.concatenate([c0[..., None, :, :], mask], axis=-3)
+    limb, scale = noise.target_limb_and_scale(base2k)
+    e = jnp.asarray(
+        source_xe.normal_f64(
+            batch_shape + (n,), noise.sigma * scale, noise.bound * scale
+        ).astype(np.int64)
+    )
+    return _encrypt_core(module, base2k, size, pt_col, limb, mask, e, pt, sk.data)
 
 
 def glwe_encrypt_sk(
@@ -177,21 +199,20 @@ def gglwe_encrypt_sk(
     rank_in = pt.shape[0]
     noise = NoiseInfos(k=k, sigma=sigma, bound=bound)
     n = module.n
-    rows = []
-    for r in range(dnum):
-        limb = (dsize - 1) + r * dsize
-        cols = []
-        for i in range(rank_in):
-            pt_limbs = jnp.zeros((size, n), jnp.int64).at[limb, :].set(pt[i])
-            pt_limbs = vec_znx_normalize(base2k, pt_limbs)
-            cols.append(
-                encrypt_sk_internal(
-                    module, base2k, size, pt_limbs, 0, sk, noise,
-                    source_xe, source_xa,
-                )
+    # batch the dnum gadget rows through one jitted encryption per input col
+    cols = []
+    for i in range(rank_in):
+        pt_rows = jnp.zeros((dnum, size, n), jnp.int64)
+        for r in range(dnum):
+            pt_rows = pt_rows.at[r, (dsize - 1) + r * dsize, :].set(pt[i])
+        pt_rows = vec_znx_normalize(base2k, pt_rows)
+        cols.append(
+            encrypt_sk_internal(
+                module, base2k, size, pt_rows, 0, sk, noise,
+                source_xe, source_xa,
             )
-        rows.append(jnp.stack(cols, axis=0))
-    data = jnp.stack(rows, axis=0)
+        )
+    data = jnp.stack(cols, axis=1)  # [dnum, rank_in, rank_out+1, size, N]
     return GGLWECiphertext(data=data, base2k=base2k, k=k, dsize=dsize)
 
 
@@ -214,21 +235,21 @@ def ggsw_encrypt_sk(
     rank = sk.rank
     noise = NoiseInfos(k=k, sigma=sigma, bound=bound)
     n = module.n
-    rows = []
+    pt = jnp.asarray(pt)
+    batch = pt.shape[:-1]  # leading batch axes (e.g. n_lwe for BRK keygen)
+    pt_rows = jnp.zeros(batch + (dnum, size, n), jnp.int64)
     for r in range(dnum):
-        limb = (dsize - 1) + r * dsize
-        pt_limbs = jnp.zeros((size, n), jnp.int64).at[limb, :].set(pt)
-        pt_limbs = vec_znx_normalize(base2k, pt_limbs)
-        cols = []
-        for j in range(rank + 1):
-            cols.append(
-                encrypt_sk_internal(
-                    module, base2k, size, pt_limbs, j, sk, noise,
-                    source_xe, source_xa,
-                )
+        pt_rows = pt_rows.at[..., r, (dsize - 1) + r * dsize, :].set(pt)
+    pt_rows = vec_znx_normalize(base2k, pt_rows)
+    cols = []
+    for j in range(rank + 1):
+        cols.append(
+            encrypt_sk_internal(
+                module, base2k, size, pt_rows, j, sk, noise,
+                source_xe, source_xa,
             )
-        rows.append(jnp.stack(cols, axis=0))
-    data = jnp.stack(rows, axis=0)
+        )
+    data = jnp.stack(cols, axis=-4)  # [..., dnum, rank+1, rank+1, size, N]
     return GGSWCiphertext(data=data, base2k=base2k, k=k, dsize=dsize)
 
 
@@ -259,7 +280,6 @@ def glwe_automorphism_key_encrypt_sk(
     module: Module,
     p: int,
     sk: GLWESecret,
-    sk_prepared: GLWESecretPrepared,
     base2k: int,
     k: int,
     dnum: int,
@@ -268,14 +288,21 @@ def glwe_automorphism_key_encrypt_sk(
     dsize: int = 1,
     **kw,
 ):
-    """Automorphism key: encrypts φ_{p^{-1}}(s) under s
-    (encryption/glwe_automorphism_key.rs:61-110)."""
+    """Automorphism key: encrypts s (as the switching-key input) under the
+    permuted secret φ_{p^{-1}}(s) (encryption/glwe_automorphism_key.rs:
+    88-107: sk_out = automorphism(galois_element_inv(p), sk), then
+    gglwe_encrypt_sk(pt=sk, sk=sk_out)).  Keyswitch + φ_p then yields an
+    encryption of φ_p(m) back under s."""
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
     from poulpy_tpu.hal.vec_znx import vec_znx_automorphism
 
-    p_inv = pow(int(p), -1, 2 * module.n)
-    sk_auto = vec_znx_automorphism(p_inv, sk.data)
+    p_inv = pow(int(p) % (2 * module.n), -1, 2 * module.n)
+    sk_out = GLWESecret(
+        data=vec_znx_automorphism(p_inv, sk.data), dist=sk.dist
+    )
+    sk_out_prepared = glwe_secret_prepare(module, sk_out)
     key = gglwe_encrypt_sk(
-        module, sk_auto, sk_prepared, base2k, k, dnum,
+        module, sk.data, sk_out_prepared, base2k, k, dnum,
         source_xe, source_xa, dsize=dsize, **kw,
     )
     return key, p

@@ -57,20 +57,17 @@ def dft_apply(
     steps = -(-a_size // step)
     if res_size is None:
         res_size = steps
-    limbs = []
-    for j in range(min(res_size, steps)):
-        limb = offset + j * step
-        if limb < a_size:
-            limbs.append(ntt_forward(t, to_residues(t, a[..., limb, :])))
-        else:
-            limbs.append(
-                jnp.zeros(a.shape[:-2] + (module.nprimes, module.n), jnp.int64)
-            )
-    while len(limbs) < res_size:
-        limbs.append(
-            jnp.zeros(a.shape[:-2] + (module.nprimes, module.n), jnp.int64)
-        )
-    return jnp.stack(limbs, axis=-3)
+    idx = [
+        offset + j * step
+        for j in range(min(res_size, steps))
+        if offset + j * step < a_size
+    ]
+    r = ntt_forward(t, to_residues(t, a[..., idx, :]))
+    if len(idx) < res_size:
+        pads = [(0, 0)] * r.ndim
+        pads[-3] = (0, res_size - len(idx))
+        r = jnp.pad(r, pads)
+    return r
 
 
 def idft_apply(module: Module, a_dft):

@@ -1,0 +1,99 @@
+"""Sharded execution of the hot primitives over a (dp, tp) mesh.
+
+dp: ciphertext-batch data parallelism (embarrassingly parallel — the batch
+axis is the TPU throughput axis).
+tp: CRT-prime tensor parallelism — every device owns P/tp primes and runs
+DFT → VMP → inverse-DFT for them end-to-end; one `all_gather` over ICI per
+inverse transform assembles the residues for the centered Garner lift.
+This mirrors the SURVEY §7 plan ("limb/batch axes sharded over the mesh,
+partial sums via collectives") with the collective placed where the CRT
+structure makes it cheapest.
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from poulpy_tpu.hal import dft
+from poulpy_tpu.hal.module import Module
+from poulpy_tpu.hal.normalization import vec_znx_normalize_full
+from poulpy_tpu.hal.ntt import garner_lift, ntt_inverse
+
+
+def shard_batch(mesh, x, axis: int = 0):
+    """Place an array with its leading batch axis sharded over dp."""
+    spec = [None] * x.ndim
+    spec[axis] = "dp"
+    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+
+def _local_tables(module: Module, psi, psi_inv, n_inv, p, qinv, r2, two32):
+    t = SimpleNamespace(
+        n=module.n,
+        logn=module.log_n,
+        psi_brv=psi,
+        psi_inv_brv=psi_inv,
+        n_inv=n_inv,
+        p=p,
+        qinv=qinv,
+        r2=r2,
+        two32_mod_p=two32,
+    )
+    return SimpleNamespace(tables=t, n=module.n, nprimes=p.shape[0])
+
+
+def sharded_external_product_fn(
+    module: Module,
+    mesh,
+    res_base2k: int,
+    res_size: int,
+    ggsw_base2k: int,
+):
+    """Build a jitted (dp, tp)-sharded batched external product.
+
+    Returns fn(ct_data [B, rank+1, size, N], pmat [rows, ci, co, psize, P, N])
+    → [B, rank+1, res_size, N].  The pmat and twiddle tables are sharded on
+    their prime axis over tp; ct batches shard over dp.
+    """
+    t = module.tables
+
+    def local_step(ct, pmat, psi, psi_inv, n_inv, p, qinv, r2, two32):
+        lm = _local_tables(module, psi, psi_inv, n_inv, p, qinv, r2, two32)
+        a_dft = dft.dft_apply(lm, ct)                    # local primes
+        res_dft = dft.vmp_apply(lm, a_dft, pmat)
+        res_coeff = ntt_inverse(lm.tables, res_dft)      # still local primes
+        full = jax.lax.all_gather(res_coeff, "tp", axis=-2, tiled=True)
+        big = garner_lift(t, full)                       # replicated constants
+        return vec_znx_normalize_full(
+            res_size, res_base2k, 0, big, ggsw_base2k
+        )
+
+    shard = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("dp"),                                     # ct batch
+            P(None, None, None, None, "tp", None),       # pmat prime axis
+            P("tp", None),                               # psi
+            P("tp", None),                               # psi_inv
+            P("tp"),                                     # n_inv
+            P("tp"),                                     # p
+            P("tp"),                                     # qinv
+            P("tp"),                                     # r2
+            P("tp"),                                     # two32
+        ),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+
+    def fn(ct_data, pmat):
+        return shard(
+            ct_data, pmat, t.psi_brv, t.psi_inv_brv, t.n_inv,
+            t.p, t.qinv, t.r2, t.two32_mod_p,
+        )
+
+    return jax.jit(fn)

@@ -1,0 +1,301 @@
+"""RLWE-core tests: encryption, keyswitch, external product, automorphism,
+trace, packing, conversions — following the reference test strategy
+(noise-budget assertions + functional checks, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poulpy_tpu.core import decryption as dec
+from poulpy_tpu.core import encryption as enc
+from poulpy_tpu.core.automorphism import glwe_automorphism
+from poulpy_tpu.core.conversion import (
+    gglwe_to_ggsw_key_encrypt_sk,
+    ggsw_from_gglwe,
+    glwe_from_lwe,
+    glwe_to_lwe_key_encrypt_sk,
+    lwe_from_glwe,
+    lwe_to_glwe_key_encrypt_sk,
+)
+from poulpy_tpu.core.external_product import glwe_cmux, glwe_external_product
+from poulpy_tpu.core.keyswitching import glwe_keyswitch
+from poulpy_tpu.core.layouts import GLWEPlaintext
+from poulpy_tpu.core.operations import glwe_add, glwe_lsh, glwe_rotate, glwe_rsh
+from poulpy_tpu.core.packing import glwe_pack, glwe_trace, trace_galois_elements
+from poulpy_tpu.core.prepared import (
+    GLWEAutomorphismKeyPrepared,
+    gglwe_prepare,
+    ggsw_prepare,
+    glwe_secret_prepare,
+)
+from poulpy_tpu.hal import vec_znx, znx
+from poulpy_tpu.hal.module import get_module
+from poulpy_tpu.hal.source import Source
+
+N = 64
+BASE2K = 17
+K_CT = 51
+K_PT = 34
+K_KEY = 68
+RNG = np.random.default_rng(7)
+
+
+def fresh_sources():
+    return Source(b"\x01" * 32), Source(b"\x02" * 32)
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    m = get_module(N, 4)
+    s = Source(bytes(32))
+    sk = enc.secret_new(m, 1, s)
+    skp = glwe_secret_prepare(m, sk)
+    return m, sk, skp
+
+
+def encode(data, k=K_PT, size=3):
+    return GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(BASE2K, k, size, jnp.asarray(data)),
+        base2k=BASE2K,
+        k=k,
+    )
+
+
+def decode(m, ct, skp, k=K_PT):
+    pt = dec.glwe_decrypt(m, ct, skp)
+    return np.asarray(vec_znx.decode_vec_i64(BASE2K, k, pt.data))
+
+
+def rand_msg():
+    return RNG.integers(-(2**15), 2**15, size=N, dtype=np.int64)
+
+
+def test_encrypt_decrypt_noise(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    # decrypt at full precision and measure the noise bits
+    pt = dec.glwe_decrypt(m, ct, skp)
+    vals = vec_znx.decode_vec_float(BASE2K, np.asarray(pt.data))
+    want = data.astype(np.float64) * 2.0**-K_PT
+    err = vals - want
+    err -= np.round(err)  # torus distance
+    noise_log2 = np.log2(np.abs(err).max() + 1e-300)
+    # fresh noise ≈ sigma·2^-K_CT; assert ≤ log2(sigma·bound) - K_CT + 0.5
+    assert noise_log2 <= np.log2(6 * 3.2) - K_CT + 0.5, noise_log2
+
+
+def test_encrypt_decrypt_batched_vmap(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    batch = 4
+    data = RNG.integers(-(2**15), 2**15, size=(batch, N), dtype=np.int64)
+    ct = enc.glwe_encrypt_sk(
+        m, encode(data), skp, BASE2K, K_CT, xe, xa, batch_shape=(batch,)
+    )
+    assert ct.data.shape == (batch, 2, 3, N)
+    out = decode(m, ct, skp)
+    assert np.array_equal(out, data)
+
+
+def test_keyswitch_noise(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    s2 = Source(b"\x03" * 32)
+    sk2 = enc.secret_new(m, 1, s2)
+    sk2p = glwe_secret_prepare(m, sk2)
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    ksk = enc.glwe_switching_key_encrypt_sk(
+        m, sk, sk2p, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+    )
+    ct2 = glwe_keyswitch(m, ct, gglwe_prepare(m, ksk))
+    assert np.array_equal(decode(m, ct2, sk2p), data)
+
+
+def test_keyswitch_rank2(ctx):
+    m, _, _ = ctx
+    xe, xa = fresh_sources()
+    s = Source(b"\x04" * 32)
+    sk_a = enc.secret_new(m, 2, s)
+    skp_a = glwe_secret_prepare(m, sk_a)
+    sk_b = enc.secret_new(m, 1, s)
+    skp_b = glwe_secret_prepare(m, sk_b)
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp_a, BASE2K, K_CT, xe, xa)
+    assert ct.rank == 2
+    ksk = enc.glwe_switching_key_encrypt_sk(
+        m, sk_a, skp_b, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+    )
+    ct2 = glwe_keyswitch(m, ct, gglwe_prepare(m, ksk))
+    assert ct2.rank == 1
+    assert np.array_equal(decode(m, ct2, skp_b), data)
+
+
+def test_external_product_rotation(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    ptg = np.zeros(N, dtype=np.int64)
+    ptg[5] = 1
+    ggsw = enc.ggsw_encrypt_sk(
+        m, jnp.asarray(ptg), skp, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+    )
+    ct2 = glwe_external_product(m, ct, ggsw_prepare(m, ggsw))
+    want = np.asarray(znx.znx_rotate(5, jnp.asarray(data)))
+    assert np.array_equal(decode(m, ct2, skp), want)
+
+
+def test_cmux(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    d0, d1 = rand_msg(), rand_msg()
+    ct0 = enc.glwe_encrypt_sk(m, encode(d0), skp, BASE2K, K_CT, xe, xa)
+    ct1 = enc.glwe_encrypt_sk(m, encode(d1), skp, BASE2K, K_CT, xe, xa)
+    for bit, want in [(0, d0), (1, d1)]:
+        ptg = np.full(N, 0, dtype=np.int64)
+        ptg[0] = bit
+        sel = enc.ggsw_encrypt_sk(
+            m, jnp.asarray(ptg), skp, BASE2K, K_KEY, dnum=3,
+            source_xe=xe, source_xa=xa,
+        )
+        out = glwe_cmux(m, ggsw_prepare(m, sel), ct1, ct0)
+        got = decode(m, out, skp)
+        assert np.max(np.abs(got - want)) <= 1, bit
+
+
+def test_automorphism(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    data = rand_msg()
+    p = m.galois_element(1)  # 5
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    key, _ = enc.glwe_automorphism_key_encrypt_sk(
+        m, p, sk, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+    )
+    akp = GLWEAutomorphismKeyPrepared(key=gglwe_prepare(m, key), p=p)
+    ct2 = glwe_automorphism(m, ct, akp)
+    want = np.asarray(znx.znx_automorphism(p, jnp.asarray(data)))
+    got = decode(m, ct2, skp)
+    assert np.max(np.abs(got - want)) <= 1
+
+
+def make_trace_keys(m, sk, skp, xe, xa):
+    keys = {}
+    for p in trace_galois_elements(m):
+        key, _ = enc.glwe_automorphism_key_encrypt_sk(
+            m, p, sk, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+        )
+        keys[p] = GLWEAutomorphismKeyPrepared(key=gglwe_prepare(m, key), p=p)
+    return keys
+
+
+def test_trace(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    keys = make_trace_keys(m, sk, skp, xe, xa)
+    tr = glwe_trace(m, ct, keys)
+    got = decode(m, tr, skp)
+    # trace/N keeps coefficient 0, kills the rest
+    assert abs(got[0] - data[0]) <= 2
+    assert np.max(np.abs(got[1:])) <= 2
+
+
+def test_pack(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    keys = make_trace_keys(m, sk, skp, xe, xa)
+    msgs = {j: rand_msg() for j in [0, 1, 5]}
+    cts = {
+        j: enc.glwe_encrypt_sk(m, encode(v), skp, BASE2K, K_CT, xe, xa)
+        for j, v in msgs.items()
+    }
+    packed = glwe_pack(m, cts, keys)
+    got = decode(m, packed, skp)
+    for j, v in msgs.items():
+        assert abs(got[j] - v[0]) <= 4, (j, got[j], v[0])
+    # unfilled slots are zero
+    assert abs(got[2]) <= 4 and abs(got[7]) <= 4
+
+
+def test_lwe_roundtrip():
+    src = Source(b"\x09" * 32)
+    xe, xa = fresh_sources()
+    n_lwe = 24
+    sk_lwe = jnp.asarray(src.ternary_prob((n_lwe,)))
+    data = RNG.integers(-(2**10), 2**10, size=(1,), dtype=np.int64)
+    pt = vec_znx.encode_vec_i64(BASE2K, 17, 3, jnp.asarray(data))
+    ct = enc.lwe_encrypt_sk(None, pt, sk_lwe, BASE2K, K_CT, xe, xa)
+    out = dec.lwe_decrypt(ct, sk_lwe)
+    got = np.asarray(vec_znx.decode_vec_i64(BASE2K, 17, out[..., None]))[..., 0]
+    assert int(got) == int(data[0])
+
+
+def test_glwe_lwe_bridges(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    src = Source(b"\x0a" * 32)
+    n_lwe = 32
+    sk_lwe = jnp.asarray(src.ternary_prob((n_lwe,)))
+
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+
+    to_lwe = glwe_to_lwe_key_encrypt_sk(
+        m, sk_lwe, sk, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+    )
+    idx = 3
+    lwe = lwe_from_glwe(m, ct, idx, to_lwe, n_lwe)
+    out = dec.lwe_decrypt(lwe, sk_lwe)
+    got = np.asarray(vec_znx.decode_vec_i64(BASE2K, K_PT, out[..., None]))[..., 0]
+    assert abs(got - data[idx]) <= 2
+
+    # back: LWE -> GLWE
+    to_glwe = lwe_to_glwe_key_encrypt_sk(
+        m, sk_lwe, skp, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+    )
+    glwe2 = glwe_from_lwe(m, lwe, to_glwe, BASE2K, K_CT)
+    got2 = decode(m, glwe2, skp)
+    assert abs(got2[0] - data[idx]) <= 4
+
+
+def test_ggsw_from_gglwe(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    # GGLWE encrypting m (rank_in=1)
+    msg = np.zeros(N, dtype=np.int64)
+    msg[2] = 1
+    gglwe = enc.gglwe_encrypt_sk(
+        m, jnp.asarray(msg)[None, :], skp, BASE2K, K_KEY, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    tsk = gglwe_to_ggsw_key_encrypt_sk(
+        m, sk, skp, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+    )
+    ggsw = ggsw_from_gglwe(m, gglwe, tsk)
+    # use the expanded GGSW in an external product: should rotate by X^2
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    ct2 = glwe_external_product(m, ct, ggsw_prepare(m, ggsw))
+    want = np.asarray(znx.znx_rotate(2, jnp.asarray(data)))
+    got = decode(m, ct2, skp)
+    # two chained gadget products amplify noise: digits (2^16) hit the
+    # expansion noise (~2^-46.5) once more in the external product →
+    # ~2^-25 total, i.e. a few hundred at the 2^-34 plaintext scale
+    assert np.max(np.abs(got - want)) <= 1024
+
+
+def test_lsh_rsh_ct(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    up = glwe_lsh(4, ct)
+    got = decode(m, up, skp, k=K_PT - 4)  # message scale moved by 2^4
+    assert np.max(np.abs(got - data)) <= 1
