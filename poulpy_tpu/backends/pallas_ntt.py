@@ -1,0 +1,227 @@
+"""Fused negacyclic NTT as a Pallas TPU kernel.
+
+The jnp NTT materializes every butterfly stage to HBM (log N round trips);
+this kernel keeps the polynomial block in VMEM across all stages — the
+classic bandwidth-to-compute conversion the AVX backend achieves with
+registers (poulpy-cpu-avx/src/fft64/reim/).
+
+Layout is transpose-free: tensors stay `[..., P, N]` int32 exactly as the
+hal stores them (a flat `[M, P, N]` view), so the wrapper adds zero HBM
+passes.  Arithmetic is pure int32: Montgomery REDC with R = 2^30 decomposed
+into 15-bit digit products (every intermediate fits signed i32).
+Butterflies pair lanes via `pltpu.roll`; per-stage full-length twiddle
+vectors make the pairing branchless.
+
+Cross-checked bit-exactly against hal.ntt by tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from poulpy_tpu.hal.ntt import NttTables, _host_tables
+
+MASK15 = (1 << 15) - 1
+MASK30 = (1 << 30) - 1
+
+
+def _mul_lo30(a, b):
+    """Low 30 bits of a·b for 0 ≤ a,b < 2^30, in i32."""
+    a0 = a & MASK15
+    a1 = a >> 15
+    b0 = b & MASK15
+    lo = a0 * b0 + (((a0 * (b >> 15) + a1 * b0) & MASK15) << 15)
+    return lo & MASK30
+
+
+def mont_mul_i32(a, b, p, qinv30):
+    """REDC_{2^30}(a·b) in pure i32 (15-bit digit schoolbook).
+
+    0 ≤ a,b < p < 2^30; every intermediate < 2^31.
+    """
+    a0 = a & MASK15
+    a1 = a >> 15
+    b0 = b & MASK15
+    b1 = b >> 15
+    p00 = a0 * b0
+    mid = a0 * b1 + a1 * b0
+    p11 = a1 * b1
+    t0f = p00 + ((mid & MASK15) << 15)
+    t0 = t0f & MASK30
+    t1 = p11 + (mid >> 15) + (t0f >> 30)
+    m = _mul_lo30(t0, qinv30)
+    m0 = m & MASK15
+    m1 = m >> 15
+    q0 = p & MASK15
+    q1 = p >> 15
+    mp00 = m0 * q0
+    mpmid = m0 * q1 + m1 * q0
+    mp11 = m1 * q1
+    mp0f = mp00 + ((mpmid & MASK15) << 15)
+    mp1 = mp11 + (mpmid >> 15) + (mp0f >> 30)
+    s0f = t0 + (mp0f & MASK30)
+    u = t1 + mp1 + (s0f >> 30)
+    return jnp.where(u >= p, u - p, u)
+
+
+def _add_mod(a, b, p):
+    s = a + b
+    return jnp.where(s >= p, s - p, s)
+
+
+def _sub_mod(a, b, p):
+    d = a - b
+    return jnp.where(d < 0, d + p, d)
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles(primes: tuple[int, ...], n: int, inverse: bool,
+                    rows_block: int):
+    """Per-stage twiddle blocks [logN, rows_block, N] int32.
+
+    The kernel folds the prime axis into the row axis (row r handles prime
+    r % P) so VMEM tiles are fully occupied; the twiddle block repeats the
+    per-prime vectors in the same interleaved pattern.  Lane i of stage s
+    carries the twiddle of its butterfly block (branchless pairing);
+    inverse stages stored in execution order."""
+    psi_t, psi_inv_t, _ = _host_tables(primes, n)
+    logn = n.bit_length() - 1
+    P = len(primes)
+    assert rows_block % P == 0
+    out = np.zeros((logn, rows_block, n), dtype=np.int32)
+    src = psi_inv_t if inverse else psi_t
+    for s in range(logn):
+        m = 1 << s
+        two_half = n >> s
+        blk = np.arange(n) // two_half
+        idx = m + blk
+        stage = s if not inverse else (logn - 1 - s)
+        per_prime = src[:, idx].astype(np.int32)      # [P, N]
+        out[stage] = np.tile(per_prime, (rows_block // P, 1))
+    return out
+
+
+def _row_consts(vals: np.ndarray, rows_block: int) -> np.ndarray:
+    """Per-prime scalars tiled into the folded row pattern [rows_block, 1]."""
+    P = len(vals)
+    return np.tile(vals.astype(np.int32), rows_block // P)[:, None]
+
+
+def _ntt_kernel(logn: int, inverse: bool,
+                x_ref, w_ref, p_ref, qinv_ref, ninv_ref, o_ref):
+    n = x_ref.shape[-1]
+    x = x_ref[...]                       # [rows_block, N], prime = row % P
+    p = p_ref[...]                       # [rows_block, 1]
+    qinv = qinv_ref[...]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+
+    if not inverse:
+        for s in range(logn):
+            half = n >> (s + 1)
+            w = w_ref[s]                 # [rows_block, N]
+            mask = (lane & (2 * half - 1)) < half
+            y = mont_mul_i32(x, w, p, qinv)
+            lo_new = _add_mod(x, pltpu.roll(y, jnp.int32(n - half), axis=1), p)
+            hi_new = _sub_mod(pltpu.roll(x, jnp.int32(half), axis=1), y, p)
+            x = jnp.where(mask, lo_new, hi_new)
+    else:
+        for si in range(logn):
+            s = logn - 1 - si
+            half = n >> (s + 1)
+            w = w_ref[si]
+            mask = (lane & (2 * half - 1)) < half
+            partner = jnp.where(
+                mask,
+                pltpu.roll(x, jnp.int32(n - half), axis=1),
+                pltpu.roll(x, jnp.int32(half), axis=1),
+            )
+            u = _add_mod(x, partner, p)
+            d_hi = _sub_mod(partner, x, p)
+            v = mont_mul_i32(d_hi, w, p, qinv)
+            x = jnp.where(mask, u, v)
+        x = mont_mul_i32(x, jnp.broadcast_to(ninv_ref[...], x.shape), p, qinv)
+    o_ref[...] = x
+
+
+@functools.lru_cache(maxsize=None)
+def ntt_fn(n: int, primes: tuple[int, ...], rows_block: int = 8,
+           inverse: bool = False):
+    logn = n.bit_length() - 1
+    P = len(primes)
+    assert rows_block % P == 0
+    wstack_np = _stage_twiddles(primes, n, inverse, rows_block)
+    from poulpy_tpu.hal.primes import R
+
+    p_np = _row_consts(np.array(primes), rows_block)
+    qinv_np = _row_consts(
+        np.array([(-pow(q, -1, R)) % R for q in primes]), rows_block
+    )
+    ninv_np = _row_consts(
+        np.array([pow(n, -1, q) * R % q for q in primes]), rows_block
+    )
+    kernel = functools.partial(_ntt_kernel, logn, inverse)
+
+    def fn(x):  # x: [M·P, N] int32, prime-folded rows (row r → prime r % P)
+        m_rows = x.shape[0]
+        grid = (pl.cdiv(m_rows, rows_block),)
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((rows_block, n), lambda bi: (bi, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((logn, rows_block, n), lambda bi: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_block, 1), lambda bi: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_block, 1), lambda bi: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((rows_block, 1), lambda bi: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (rows_block, n), lambda bi: (bi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(x.shape, jnp.int32),
+            )(
+                x, jnp.asarray(wstack_np), jnp.asarray(p_np),
+                jnp.asarray(qinv_np), jnp.asarray(ninv_np),
+            )
+
+    return fn
+
+
+def pallas_ntt_forward(tables: NttTables, x):
+    """x: [..., P, N] residues → forward NTT (same layout as
+    hal.ntt.ntt_forward, bit-exact; i32 in/out with no transposes)."""
+    return _apply(tables, x, inverse=False)
+
+
+def pallas_ntt_inverse(tables: NttTables, x):
+    return _apply(tables, x, inverse=True)
+
+
+def _apply(tables: NttTables, x, inverse: bool):
+    n = tables.n
+    P = tables.basis.nprimes
+    lead = x.shape[:-2]
+    dtype_in = x.dtype
+    # fold the prime axis into rows (free reshape: [..., P, N] is P-minor)
+    xm = x.reshape((-1, n)).astype(jnp.int32)
+    m_rows = xm.shape[0]
+    rows_block = 8
+    pad = (-m_rows) % rows_block
+    if pad:
+        xm = jnp.pad(xm, ((0, pad), (0, 0)))
+    out = ntt_fn(n, tables.basis.primes, rows_block, inverse)(xm)
+    if pad:
+        out = out[:m_rows]
+    return out.reshape(lead + (P, n)).astype(dtype_in)

@@ -1,0 +1,339 @@
+"""BDD arithmetic on packed encrypted integers
+(poulpy-bin-fhe/src/bdd_arithmetic/).
+
+The reference ships ~18 kLoC of codegen'd static BDD tables for u32 ops
+(src/bdd_arithmetic/circuits/u32/*_codegen.rs); here the BDDs are built
+programmatically (carry-state construction for add/sub, Shannon products for
+bitwise/shift/compare ops) — same circuits, derived instead of vendored.
+
+Evaluation (eval.rs:104-230,524-606): every BDD node is a CMux
+  node = sel ? hi : lo  =  lo + GGSW(sel) ⊡ (hi − lo)
+with selectors the circuit-bootstrapped input bits and leaves trivial
+encryptions of 0/1.  Bits of a `FheUint` are packed in one GLWE (bit j at
+coefficient j, fhe_uint.rs:39,239); preparation extracts each bit to LWE and
+circuit-bootstraps it into a GGSW selector — the reference threads this over
+CPU cores (fhe_uint_prepared.rs:433), here it is a batched pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from poulpy_tpu.binfhe.circuit_bootstrapping import (
+    CircuitBootstrappingKey,
+    circuit_bootstrap,
+)
+from poulpy_tpu.core import encryption as enc
+from poulpy_tpu.core.conversion import lwe_from_glwe
+from poulpy_tpu.core.external_product import glwe_cmux
+from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext, glwe_size
+from poulpy_tpu.core.prepared import GGSWPrepared, ggsw_prepare
+from poulpy_tpu.hal import vec_znx
+from poulpy_tpu.hal.module import Module
+
+# --------------------------------------------------------------------------
+# BDD representation and builders
+# --------------------------------------------------------------------------
+#
+# A circuit is a list of nodes; node = (var, lo, hi) where var is an input
+# bit index and lo/hi reference earlier nodes or the leaves -1 (FALSE) and
+# -2 (TRUE).  Variable convention for two w-bit operands: var 2i = a_i,
+# var 2i+1 = b_i (LSB first).
+
+FALSE, TRUE = -1, -2
+
+
+@dataclass(frozen=True)
+class BDD:
+    nodes: tuple  # tuple of (var, lo, hi)
+    root: int
+
+
+class _Builder:
+    def __init__(self):
+        self.nodes = []
+        self.cache = {}
+
+    def mk(self, var, lo, hi):
+        if lo == hi:
+            return lo
+        key = (var, lo, hi)
+        if key not in self.cache:
+            self.nodes.append(key)
+            self.cache[key] = len(self.nodes) - 1
+        return self.cache[key]
+
+    def freeze(self, root) -> BDD:
+        return BDD(nodes=tuple(self.nodes), root=root)
+
+
+def _add_bit_bdd(width: int, out_bit: int, sub: bool = False) -> BDD:
+    """Linear-size BDD for bit `out_bit` of a+b (or a−b): nodes track the
+    carry/borrow state, variables LSB-first up to out_bit."""
+    b = _Builder()
+    memo = {}
+
+    def build(i, carry_known, carry):
+        # returns node computing s_out given carry into bit i
+        key = (i, carry)
+        if key in memo:
+            return memo[key]
+        if i == out_bit:
+            # s = a_i xor b_i xor carry
+            def leaf(ai, bi):
+                return TRUE if (ai ^ bi ^ carry) else FALSE
+
+            n_b0 = b.mk(2 * i + 1, leaf(0, 0), leaf(0, 1))
+            n_b1 = b.mk(2 * i + 1, leaf(1, 0), leaf(1, 1))
+            node = b.mk(2 * i, n_b0, n_b1)
+        else:
+            def next_carry(ai, bi):
+                if sub:
+                    # borrow: a_i - b_i - borrow
+                    return 1 if (ai - bi - carry) < 0 else 0
+                return 1 if (ai + bi + carry) >= 2 else 0
+
+            n_b0 = None
+            subs = {}
+            for ai in (0, 1):
+                lo = build(i + 1, True, next_carry(ai, 0))
+                hi = build(i + 1, True, next_carry(ai, 1))
+                subs[ai] = b.mk(2 * i + 1, lo, hi)
+            node = b.mk(2 * i, subs[0], subs[1])
+        memo[key] = node
+        return node
+
+    root = build(0, True, 0)
+    return b.freeze(root)
+
+
+def bdd_circuit(op: str, width: int) -> list[BDD]:
+    """BDDs for all output bits of a two-operand op (the analogue of the
+    reference's *_codegen tables, built on demand and cached)."""
+    key = (op, width)
+    if key in _CIRCUIT_CACHE:
+        return _CIRCUIT_CACHE[key]
+    if op == "add":
+        out = [_add_bit_bdd(width, i, sub=False) for i in range(width)]
+    elif op == "sub":
+        out = [_add_bit_bdd(width, i, sub=True) for i in range(width)]
+    elif op in ("and", "or", "xor"):
+        fn = {
+            "and": lambda a, b: a & b,
+            "or": lambda a, b: a | b,
+            "xor": lambda a, b: a ^ b,
+        }[op]
+        # bitwise: output bit i depends only on a_i, b_i
+        out = []
+        for i in range(width):
+            bld = _Builder()
+            def leaf(ai, bi):
+                return TRUE if (fn(ai, bi) >> 0) & 1 else FALSE
+            n_b0 = bld.mk(2 * i + 1, leaf(0, 0), leaf(0, 1))
+            n_b1 = bld.mk(2 * i + 1, leaf(1, 0), leaf(1, 1))
+            root = bld.mk(2 * i, n_b0, n_b1)
+            out.append(bld.freeze(root))
+    elif op in ("slt", "sltu"):
+        out = [_cmp_bdd(width, op == "slt")]
+    else:
+        raise ValueError(op)
+    _CIRCUIT_CACHE[key] = out
+    return out
+
+
+def _cmp_bdd(width: int, signed: bool) -> BDD:
+    """Linear-size comparison BDD (state: result decided / still equal),
+    MSB-first."""
+    b = _Builder()
+    memo = {}
+
+    def build(i):
+        # compare from bit i downward assuming higher bits equal
+        if i < 0:
+            return FALSE  # equal → not less-than
+        if i in memo:
+            return memo[i]
+        lower = build(i - 1)
+        lt = TRUE
+        gt = FALSE
+        if signed and i == width - 1:
+            lt, gt = gt, lt  # sign bit inverts the order
+        # a_i=0: b_i=1 → lt ; b_i=0 → recurse
+        n_a0 = b.mk(2 * i + 1, lower, lt)
+        # a_i=1: b_i=1 → recurse ; b_i=0 → gt
+        n_a1 = b.mk(2 * i + 1, gt, lower)
+        node = b.mk(2 * i, n_a0, n_a1)
+        memo[i] = node
+        return node
+
+    return b.freeze(build(width - 1))
+
+
+_CIRCUIT_CACHE: dict = {}
+
+
+# --------------------------------------------------------------------------
+# FheUint
+# --------------------------------------------------------------------------
+
+@dataclass
+class FheUint:
+    """All bits of a uint packed into one GLWE, bit j at coefficient j
+    (bdd_arithmetic/ciphertexts/fhe_uint.rs:39)."""
+
+    glwe: GLWECiphertext
+    width: int
+
+
+@dataclass
+class FheUintPrepared:
+    """Per-bit GGSW selectors (fhe_uint_prepared.rs:131)."""
+
+    bits: list[GGSWPrepared]
+    width: int
+
+
+@dataclass
+class BDDKey:
+    """{cbt, ks_lwe} bundle (bdd_arithmetic/key.rs:128-137)."""
+
+    cbt: CircuitBootstrappingKey
+    ks_lwe: object  # GGLWEPrepared: GLWE→LWE switching key
+    n_lwe: int
+    base2k: int
+    k_ct: int
+    dnum_ggsw: int
+    k_ggsw: int
+
+
+def fheuint_encrypt(
+    module: Module, value: int, width: int, skp, base2k: int, k_ct: int,
+    source_xe, source_xa,
+) -> FheUint:
+    bits = np.zeros(module.n, dtype=np.int64)
+    for j in range(width):
+        bits[j] = (value >> j) & 1
+    size = glwe_size(base2k, k_ct)
+    # bits at torus 1/4 (k=2): circuit bootstrapping with log_domain=1
+    # needs phase b·2N/4 in the positive half-circle (b/2 would wrap)
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 2, size, jnp.asarray(bits)),
+        base2k=base2k,
+        k=2,
+    )
+    glwe = enc.glwe_encrypt_sk(module, pt, skp, base2k, k_ct, source_xe, source_xa)
+    return FheUint(glwe=glwe, width=width)
+
+
+def fheuint_decrypt(module: Module, ct: FheUint, skp) -> int:
+    from poulpy_tpu.core import decryption as dec
+
+    pt = dec.glwe_decrypt(module, ct.glwe, skp)
+    bits = np.asarray(vec_znx.decode_vec_i64(ct.glwe.base2k, 2, pt.data))
+    v = 0
+    for j in range(ct.width):
+        v |= (int(bits[j]) & 1) << j
+    return v
+
+
+def fheuint_prepare(
+    module: Module, ct: FheUint, key: BDDKey
+) -> FheUintPrepared:
+    """Extract each bit to LWE, circuit-bootstrap into a GGSW selector
+    (fhe_uint_prepared.rs:131-464; threads → batched loop here)."""
+    bits = []
+    for j in range(ct.width):
+        lwe = lwe_from_glwe(
+            module, ct.glwe, j, key.ks_lwe, key.n_lwe, key.base2k, key.k_ct
+        )
+        ggsw = circuit_bootstrap(
+            module, lwe, 1, key.cbt, dnum_res=key.dnum_ggsw,
+            k_res=key.k_ggsw, to_exponent=False,
+        )
+        bits.append(ggsw_prepare(module, ggsw))
+    return FheUintPrepared(bits=bits, width=ct.width)
+
+
+# --------------------------------------------------------------------------
+# BDD evaluation
+# --------------------------------------------------------------------------
+
+def _trivial_bit(module: Module, bit: int, coeff: int, base2k: int, k: int, rank: int):
+    """Trivial (noiseless) GLWE of bit·2^-2 at coefficient `coeff`."""
+    size = glwe_size(base2k, k)
+    data = jnp.zeros((rank + 1, size, module.n), jnp.int64)
+    if bit:
+        data = data.at[0, 0, coeff].set(1 << (base2k - 2))
+    return GLWECiphertext(data=data, base2k=base2k, k=k)
+
+
+def eval_bdd_bit(
+    module: Module,
+    bdd: BDD,
+    sel_a: FheUintPrepared,
+    sel_b: FheUintPrepared,
+    out_coeff: int,
+    base2k: int,
+    k: int,
+) -> GLWECiphertext:
+    """Evaluate one output bit's BDD bottom-up with CMuxes
+    (execute_bdd_circuit_2w_to_1w, eval.rs:104-230)."""
+    rank = sel_a.bits[0].rank
+
+    def leaf(code):
+        return _trivial_bit(module, 1 if code == TRUE else 0, out_coeff, base2k, k, rank)
+
+    cache: dict[int, GLWECiphertext] = {}
+
+    def value(ref):
+        if ref in (TRUE, FALSE):
+            return leaf(ref)
+        if ref in cache:
+            return cache[ref]
+        var, lo, hi = bdd.nodes[ref]
+        bit_i, is_b = var // 2, var % 2
+        sel = (sel_b if is_b else sel_a).bits[bit_i]
+        out = glwe_cmux(module, sel, value(hi), value(lo))
+        cache[ref] = out
+        return out
+
+    return value(bdd.root)
+
+
+def fheuint_op(
+    module: Module,
+    op: str,
+    a: FheUintPrepared,
+    b: FheUintPrepared,
+    base2k: int,
+    k: int,
+) -> GLWECiphertext:
+    """Evaluate op(a, b), all output bits summed into one packed GLWE
+    (each bit lands on its own coefficient, so plain addition packs)."""
+    circuits = bdd_circuit(op, a.width)
+    acc = None
+    for j, bdd in enumerate(circuits):
+        bit_ct = eval_bdd_bit(module, bdd, a, b, j, base2k, k)
+        acc = bit_ct if acc is None else acc.replace(data=acc.data + bit_ct.data)
+    from poulpy_tpu.hal.normalization import vec_znx_normalize
+
+    return acc.replace(data=vec_znx_normalize(base2k, acc.data))
+
+
+def eval_bdd_plain(bdd: BDD, a: int, b: int) -> int:
+    """Reference evaluation on plaintext ints (circuit-construction oracle)."""
+
+    def value(ref):
+        if ref == TRUE:
+            return 1
+        if ref == FALSE:
+            return 0
+        var, lo, hi = bdd.nodes[ref]
+        bit_i, is_b = var // 2, var % 2
+        bit = ((b if is_b else a) >> bit_i) & 1
+        return value(hi if bit else lo)
+
+    return value(bdd.root)

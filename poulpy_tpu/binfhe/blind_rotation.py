@@ -14,6 +14,8 @@ gate-bootstraps/s axis).
 
 from __future__ import annotations
 
+import functools
+
 import flax.struct as struct
 import jax
 import jax.numpy as jnp
@@ -107,6 +109,7 @@ def mod_switch_2n(two_n: int, lwe: LWECiphertext, rot_dir: str = "left"):
     return y
 
 
+@functools.partial(jax.jit, static_argnames=("module", "res_k"))
 def blind_rotation_execute(
     module: Module,
     lwe: LWECiphertext,

@@ -9,8 +9,7 @@ mod-switch lands mid-window.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
+import flax.struct as struct
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,16 +17,17 @@ from poulpy_tpu.hal.normalization import vec_znx_normalize
 from poulpy_tpu.hal.vec_znx import vec_znx_rotate, vec_znx_switch_ring
 
 
-@dataclass
+@struct.dataclass
 class LookupTable:
     """data: [ext, size, N]; rot_dir "left" rotates by X^{-dec(lwe)}
-    (standard), "right" by X^{+dec(lwe)} (lut.rs:17-33)."""
+    (standard), "right" by X^{+dec(lwe)} (lut.rs:17-33).  A pytree so
+    blind rotation jits over it."""
 
     data: jnp.ndarray
-    base2k: int
-    k: int
-    drift: int = 0
-    rot_dir: str = "left"
+    base2k: int = struct.field(pytree_node=False)
+    k: int = struct.field(pytree_node=False)
+    drift: int = struct.field(pytree_node=False, default=0)
+    rot_dir: str = struct.field(pytree_node=False, default="left")
 
     @property
     def n(self) -> int:

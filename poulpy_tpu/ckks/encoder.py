@@ -1,0 +1,55 @@
+"""CKKS slot encoder (poulpy-ckks/src/encoding/reim.rs).
+
+Maps m = N/2 complex slots onto a real negacyclic polynomial through the
+canonical embedding restricted to the Galois-generator (5^k) orbit of
+primitive 2N-th roots of unity; conjugate symmetry makes the coefficients
+real.  Implemented host-side with numpy f64 FFTs (TPUs have no f64; the
+encoder runs at data ingress/egress only — the reference likewise treats it
+as a host-side float transform).
+
+Slot ordering follows the generator orbit t_k = 5^k mod 2N (the reference
+additionally bit-reverses its table-order indices, reim.rs:31-38; orderings
+agree up to a fixed permutation and are self-consistent here).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Encoder:
+    def __init__(self, n: int):
+        assert n & (n - 1) == 0 and n >= 4
+        self.n = n
+        self.m = n // 2
+        two_n = 2 * n
+        # slot k evaluates at zeta^{t_k}, t_k = 5^k mod 2N
+        t = np.zeros(self.m, dtype=np.int64)
+        e = 1
+        for k in range(self.m):
+            t[k] = e
+            e = (e * 5) % two_n
+        self.t = t
+        # positions in the length-N "odd spectrum": t = 2s+1 -> s
+        self.s = (t - 1) // 2
+        self.s_conj = ((two_n - t) - 1) // 2  # conjugate root positions
+        self.twist = np.exp(1j * np.pi * np.arange(n) / n)
+
+    def encode(self, z: np.ndarray, log_delta: int) -> np.ndarray:
+        """Complex slots [..., m] → integer coefficients [..., N] scaled by
+        2^log_delta."""
+        z = np.asarray(z, dtype=np.complex128)
+        assert z.shape[-1] == self.m
+        spec = np.zeros(z.shape[:-1] + (self.n,), dtype=np.complex128)
+        spec[..., self.s] = z
+        spec[..., self.s_conj] = np.conj(z)
+        # p_twisted = fft(spec)/N inverts ev_s = N·ifft(twisted)[s]
+        p = np.fft.fft(spec, axis=-1) / self.n
+        coeffs = np.real(p / self.twist)
+        return np.rint(coeffs * float(2**log_delta)).astype(np.int64)
+
+    def decode(self, coeffs: np.ndarray, log_delta: int) -> np.ndarray:
+        """Integer coefficients [..., N] → complex slots [..., m]."""
+        p = np.asarray(coeffs, dtype=np.float64) * self.twist
+        ev = self.n * np.fft.ifft(p, axis=-1)
+        return ev[..., self.s] / float(2**log_delta)

@@ -1,0 +1,274 @@
+"""Leveled CKKS operations (poulpy-ckks/src/leveled/).
+
+Meta bookkeeping follows the reference exactly:
+  add/sub     → align budgets (error.rs:113-122 checked subs)
+  rescale(k)  → glwe_lsh(k); budget -= k (default/rescale.rs:23-73)
+  mul         → budget' = min(b1,b2) − max(d1,d2), delta' = min(d1,d2)
+                (error.rs:155-175, default/mul.rs:461-478), realized as a
+                bivariate-convolution tensor product + tensor-key
+                relinearization with a pure bit-shift landing the product at
+                the new scale (no modulus switch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from poulpy_tpu.ckks.encoder import Encoder
+from poulpy_tpu.ckks.layouts import CKKSCiphertext, CKKSMeta, CKKSPlaintext
+from poulpy_tpu.core import decryption as core_dec
+from poulpy_tpu.core import encryption as core_enc
+from poulpy_tpu.core.automorphism import glwe_automorphism
+from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext, glwe_size
+from poulpy_tpu.core.operations import (
+    glwe_add,
+    glwe_add_plain,
+    glwe_lsh,
+    glwe_negate,
+    glwe_sub,
+    glwe_sub_plain,
+    glwe_tensor_product_big,
+)
+from poulpy_tpu.core.keyswitching import gglwe_product_dft
+from poulpy_tpu.hal import dft, vec_znx
+from poulpy_tpu.hal.module import Module
+
+
+class CKKSError(ValueError):
+    """Composition errors (budget underflow etc., poulpy-ckks/src/error.rs)."""
+
+
+def _checked_sub(op: str, budget: int, bits: int) -> int:
+    if budget < bits:
+        raise CKKSError(f"{op}: insufficient log_budget {budget} < {bits}")
+    return budget - bits
+
+
+def encode(
+    encoder: Encoder, z, base2k: int, k_ct: int, log_delta: int, log_budget: int
+) -> CKKSPlaintext:
+    """Slots → CKKSPlaintext limbs at torus precision effective_k."""
+    meta = CKKSMeta(log_delta=log_delta, log_budget=log_budget)
+    coeffs = encoder.encode(np.asarray(z), log_delta)
+    size = glwe_size(base2k, k_ct)
+    data = vec_znx.encode_vec_i64(base2k, meta.effective_k, size, jnp.asarray(coeffs))
+    return CKKSPlaintext(
+        pt=GLWEPlaintext(data=data, base2k=base2k, k=k_ct), meta=meta
+    )
+
+
+def decode(encoder: Encoder, pt: CKKSPlaintext) -> np.ndarray:
+    coeffs = np.asarray(
+        vec_znx.decode_vec_i64(pt.pt.base2k, pt.meta.effective_k, pt.pt.data)
+    )
+    return encoder.decode(coeffs, pt.meta.log_delta)
+
+
+def encrypt_sk(
+    module: Module, pt: CKKSPlaintext, sk_prepared, k_ct: int,
+    source_xe, source_xa, **kw,
+) -> CKKSCiphertext:
+    glwe = core_enc.glwe_encrypt_sk(
+        module, pt.pt, sk_prepared, pt.pt.base2k, k_ct, source_xe, source_xa, **kw
+    )
+    return CKKSCiphertext(glwe=glwe, meta=pt.meta)
+
+
+def decrypt(module: Module, ct: CKKSCiphertext, sk_prepared) -> CKKSPlaintext:
+    pt = core_dec.glwe_decrypt(
+        module, ct.glwe, sk_prepared, ct.glwe.base2k, ct.meta.effective_k
+    )
+    return CKKSPlaintext(pt=pt, meta=ct.meta)
+
+
+def _aligned(a: CKKSCiphertext, b: CKKSCiphertext, op: str):
+    """Equalize budgets by shifting the larger-budget operand up
+    (ckks_align, default/rescale.rs:73+)."""
+    if a.meta.log_delta != b.meta.log_delta:
+        raise CKKSError(f"{op}: log_delta mismatch")
+    if a.log_budget == b.log_budget:
+        return a, b
+    if a.log_budget > b.log_budget:
+        a = rescale(a, a.log_budget - b.log_budget)
+    else:
+        b = rescale(b, b.log_budget - a.log_budget)
+    return a, b
+
+
+def add(a: CKKSCiphertext, b: CKKSCiphertext) -> CKKSCiphertext:
+    a, b = _aligned(a, b, "add")
+    return CKKSCiphertext(glwe=glwe_add(a.glwe, b.glwe), meta=a.meta)
+
+
+def sub(a: CKKSCiphertext, b: CKKSCiphertext) -> CKKSCiphertext:
+    a, b = _aligned(a, b, "sub")
+    return CKKSCiphertext(glwe=glwe_sub(a.glwe, b.glwe), meta=a.meta)
+
+
+def negate(a: CKKSCiphertext) -> CKKSCiphertext:
+    return CKKSCiphertext(glwe=glwe_negate(a.glwe), meta=a.meta)
+
+
+def add_plain(a: CKKSCiphertext, pt: CKKSPlaintext) -> CKKSCiphertext:
+    if pt.meta.effective_k != a.meta.effective_k or pt.meta.log_delta != a.meta.log_delta:
+        raise CKKSError("add_plain: meta mismatch")
+    return CKKSCiphertext(glwe=glwe_add_plain(a.glwe, pt.pt), meta=a.meta)
+
+
+def sub_plain(a: CKKSCiphertext, pt: CKKSPlaintext) -> CKKSCiphertext:
+    if pt.meta.effective_k != a.meta.effective_k or pt.meta.log_delta != a.meta.log_delta:
+        raise CKKSError("sub_plain: meta mismatch")
+    return CKKSCiphertext(glwe=glwe_sub_plain(a.glwe, pt.pt), meta=a.meta)
+
+
+def rescale(a: CKKSCiphertext, k: int) -> CKKSCiphertext:
+    """ct·2^k with budget -= k (pure bit shift, default/rescale.rs:23-37)."""
+    budget = _checked_sub("rescale", a.log_budget, k)
+    return CKKSCiphertext(
+        glwe=glwe_lsh(k, a.glwe),
+        meta=CKKSMeta(log_delta=a.meta.log_delta, log_budget=budget),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("module", "res_k"))
+def mul(
+    module: Module,
+    a: CKKSCiphertext,
+    b: CKKSCiphertext,
+    tensor_key,
+    res_k: int | None = None,
+) -> CKKSCiphertext:
+    """ct × ct with relinearization (default/mul.rs:25-120).
+
+    The torus product A·B (exact bivariate convolution) is landed at the new
+    scale with a single power-of-two offset inside the final normalization —
+    the bit-shift rescale that replaces RNS modswitching.
+    """
+    ga, gb = a.glwe, b.glwe
+    if ga.base2k != gb.base2k:
+        raise CKKSError("mul: base2k mismatch")
+    base2k = ga.base2k
+    res_k = max(ga.k, gb.k) if res_k is None else res_k
+
+    d1, d2 = a.meta.log_delta, b.meta.log_delta
+    b1, b2 = a.meta.log_budget, b.meta.log_budget
+    res_budget = _checked_sub("mul", min(b1, b2), max(d1, d2))
+    res_delta = min(d1, d2)
+    res_offset = max(0, (res_budget + res_delta) - res_k)
+    res_budget = _checked_sub("mul", res_budget, res_offset)
+    e_res = res_budget + res_delta
+
+    # off_bits: v_res = (A·B)·2^{e_a+e_b − max(d) − e_res − res_offset...}
+    off_bits = (a.effective_k + b.effective_k) - max(d1, d2) - e_res
+    res_size = glwe_size(base2k, res_k)
+    rank = ga.rank
+
+    conv_size = ga.size + gb.size - 1
+    lin, quad = glwe_tensor_product_big(module, ga, gb, conv_size)
+
+    # relinearize quadratic terms with the offset applied inside the
+    # decomposition normalization (keyswitch is linear, so the power-of-two
+    # landing shift happens before digit decomposition to keep precision)
+    acc = None
+    for (i, j), big in quad.items():
+        key = tensor_key.keys[(min(i, j), max(i, j))]
+        d = dft.big_normalize(
+            module, key.dnum * key.dsize, key.base2k, big, base2k,
+            res_offset=off_bits - base2k,
+        )
+        d_dft = dft.dft_apply(module, d[..., None, :, :])
+        part = gglwe_product_dft(module, d_dft, key)
+        acc = part if acc is None else dft.dft_add(module, acc, part)
+
+    ks_big = dft.idft_apply(module, acc)
+    # linear terms with the same landing shift
+    lin_shifted = [
+        dft.big_normalize(
+            module, ks_big.shape[-2], base2k, t, base2k,
+            res_offset=off_bits - base2k,
+        )
+        for t in lin
+    ]
+    cols = []
+    for c in range(rank + 1):
+        col = ks_big[..., c, :, :]
+        add_t = lin_shifted[c]
+        m_size = max(col.shape[-2], add_t.shape[-2])
+        col, add_t = dft._align_limbs(col, add_t, m_size, limb_axis=-2)
+        cols.append(col + add_t)
+    res_big = jnp.stack(cols, axis=-3)
+    data = dft.big_normalize(module, res_size, base2k, res_big, base2k)
+    glwe = GLWECiphertext(data=data, base2k=base2k, k=res_k)
+    return CKKSCiphertext(
+        glwe=glwe, meta=CKKSMeta(log_delta=res_delta, log_budget=res_budget)
+    )
+
+
+def mul_plain(
+    module: Module, a: CKKSCiphertext, pt: CKKSPlaintext
+) -> CKKSCiphertext:
+    """ct × pt (default/mul.rs get_mul_pt_params: budget' = b_a − d_pt,
+    delta' = d_a  — the plaintext's scale is divided out)."""
+    ga = a.glwe
+    if ga.base2k != pt.pt.base2k:
+        raise CKKSError("mul_plain: base2k mismatch")
+    base2k = ga.base2k
+    res_budget = _checked_sub("mul_plain", a.log_budget, pt.meta.log_delta)
+    res_delta = a.meta.log_delta
+    e_res = res_budget + res_delta
+    off_bits = (a.effective_k + pt.meta.effective_k) - pt.meta.log_delta - e_res
+
+    pt_prep = dft.cnv_prepare_right(module, pt.pt.data)
+    ct_prep = dft.cnv_prepare_left(module, ga.data)
+    conv_size = ga.size + pt.pt.size - 1
+    prod = dft.cnv_apply(module, ct_prep, pt_prep, conv_size)
+    big = dft.idft_apply(module, prod)
+    data = dft.big_normalize(
+        module, ga.size, base2k, big, base2k, res_offset=off_bits - base2k
+    )
+    glwe = GLWECiphertext(data=data, base2k=base2k, k=ga.k)
+    return CKKSCiphertext(
+        glwe=glwe, meta=CKKSMeta(log_delta=res_delta, log_budget=res_budget)
+    )
+
+
+def rotate(
+    module: Module, a: CKKSCiphertext, auto_key, steps_unused: int = 0
+) -> CKKSCiphertext:
+    """Slot rotation by r = automorphism X → X^{5^r}
+    (default/rotate.rs); the key's galois element determines r."""
+    glwe = glwe_automorphism(module, a.glwe, auto_key, a.glwe.base2k, a.glwe.k)
+    return CKKSCiphertext(glwe=glwe, meta=a.meta)
+
+
+def conjugate(module: Module, a: CKKSCiphertext, auto_key) -> CKKSCiphertext:
+    """Complex conjugation = automorphism X → X^{-1} (default/conjugate.rs)."""
+    glwe = glwe_automorphism(module, a.glwe, auto_key, a.glwe.base2k, a.glwe.k)
+    return CKKSCiphertext(glwe=glwe, meta=a.meta)
+
+
+# ---- composite ops (leveled/api/composite.rs:28-235) ----------------------
+
+def add_many(cts: list[CKKSCiphertext]) -> CKKSCiphertext:
+    out = cts[0]
+    for c in cts[1:]:
+        out = add(out, c)
+    return out
+
+
+def mul_add(module, a, b, c, tensor_key):
+    """res = a·b + c."""
+    return add(mul(module, a, b, tensor_key), c)
+
+
+def mul_sub(module, a, b, c, tensor_key):
+    return sub(mul(module, a, b, tensor_key), c)
+
+
+def dot_product(module, xs, ys, tensor_key):
+    """Σ x_i·y_i (composite.rs dot_product)."""
+    return add_many([mul(module, x, y, tensor_key) for x, y in zip(xs, ys)])

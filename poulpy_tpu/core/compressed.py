@@ -1,0 +1,72 @@
+"""Compressed ciphertext layer (poulpy-core/src/layouts/compressed/).
+
+Every sk-encrypted object can store only its body column plus the 32-byte
+seed of the mask stream; `*_decompress` regenerates the mask columns from
+the seed (glwe.rs:20, gglwe.rs:22, ggsw.rs:21).  Halves-to-(rank+1)ths key
+material size for transport/storage.
+"""
+
+from __future__ import annotations
+
+import flax.struct as struct
+import jax.numpy as jnp
+
+from poulpy_tpu.core.encryption import NoiseInfos, encrypt_sk_internal
+from poulpy_tpu.core.layouts import GLWECiphertext, glwe_size
+from poulpy_tpu.core.prepared import GLWESecretPrepared
+from poulpy_tpu.hal.module import Module
+from poulpy_tpu.hal.source import Source
+
+
+def _static(**kw):
+    return struct.field(pytree_node=False, **kw)
+
+
+@struct.dataclass
+class GLWECompressed:
+    """Body column + mask seed (layouts/compressed/glwe.rs:20)."""
+
+    body: jnp.ndarray  # [..., size, N]
+    seed: bytes = _static()
+    base2k: int = _static()
+    k: int = _static()
+    rank: int = _static(default=1)
+
+
+def glwe_encrypt_sk_compressed(
+    module: Module,
+    pt,
+    sk: GLWESecretPrepared,
+    base2k: int,
+    k: int,
+    source_xe: Source,
+    source_xa: Source,
+    batch_shape: tuple = (),
+    **kw,
+) -> GLWECompressed:
+    """Draw a fresh mask seed from source_xa (Source.branch, the reference's
+    compressed-encryption pattern), encrypt, keep only the body."""
+    seed, child = source_xa.branch()
+    noise = NoiseInfos(k=k, **{k_: v for k_, v in kw.items() if k_ in ("sigma", "bound")})
+    size = glwe_size(base2k, k)
+    data = encrypt_sk_internal(
+        module, base2k, size,
+        None if pt is None else pt.data, 0, sk, noise,
+        source_xe, child, batch_shape,
+    )
+    return GLWECompressed(
+        body=data[..., 0, :, :], seed=seed, base2k=base2k, k=k, rank=sk.rank
+    )
+
+
+def glwe_decompress(module: Module, ct: GLWECompressed) -> GLWECiphertext:
+    """Regenerate the mask columns from the seed (GLWEDecompress)."""
+    source = Source(ct.seed)
+    size = ct.body.shape[-2]
+    n = module.n
+    batch = ct.body.shape[:-2]
+    mask = jnp.asarray(
+        source.uniform_digits(ct.base2k, batch + (ct.rank, size, n))
+    )
+    data = jnp.concatenate([ct.body[..., None, :, :], mask], axis=-3)
+    return GLWECiphertext(data=data, base2k=ct.base2k, k=ct.k)

@@ -6,6 +6,9 @@ NTT products before a single carry normalization.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 
 from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext, LWECiphertext, glwe_size
@@ -15,6 +18,9 @@ from poulpy_tpu.hal.module import Module
 from poulpy_tpu.hal.normalization import vec_znx_normalize
 
 
+@functools.partial(
+    jax.jit, static_argnames=("module", "pt_base2k", "pt_k")
+)
 def glwe_decrypt(
     module: Module,
     ct: GLWECiphertext,

@@ -373,3 +373,76 @@ def lwe_encrypt_sk(
     data = jnp.concatenate([body, a], axis=-1)
     data = vec_znx_normalize(base2k, data)
     return LWECiphertext(data=data, base2k=base2k, k=k)
+
+
+# --------------------------------------------------------------------------
+# Public-key encryption (encryption/glwe.rs:166-380, glwe_public_key.rs)
+# --------------------------------------------------------------------------
+
+def glwe_public_key_generate(
+    module: Module,
+    sk: GLWESecretPrepared,
+    base2k: int,
+    k: int,
+    source_xe: Source,
+    source_xa: Source,
+    **kw,
+):
+    """GLWEPublicKey = encryption of zero under sk
+    (encryption/glwe_public_key.rs)."""
+    return glwe_encrypt_sk(module, None, sk, base2k, k, source_xe, source_xa, **kw)
+
+
+def glwe_public_key_prepare(module: Module, pk: GLWECiphertext):
+    """DFT of every pk column (GLWEPrepared for pk encryption)."""
+    from poulpy_tpu.hal import dft
+
+    return dft.dft_apply(module, pk.data)
+
+
+def glwe_encrypt_pk(
+    module: Module,
+    pt,                      # GLWEPlaintext or None
+    pk_prepared,             # [cols, size, P, N] DFT of the public key
+    pk_base2k: int,
+    pk_k: int,
+    source_xu: Source,
+    source_xe: Source,
+    sigma: float = DEFAULT_SIGMA_XE,
+    bound: float = DEFAULT_BOUND_XE,
+    u_dist: str = "ternary_prob",
+) -> GLWECiphertext:
+    """pk encryption (glwe_encrypt_pk_internal, encryption/glwe.rs:330-380):
+    sample ephemeral u, ct_i = norm(iDFT(u ⊙ pk_i) + e_i (+ pt at col 0))."""
+    from poulpy_tpu.hal import dft
+
+    base2k = pk_base2k
+    size = glwe_size(base2k, pk_k)
+    cols = pk_prepared.shape[-4]
+    n = module.n
+    if u_dist == "ternary_prob":
+        u = jnp.asarray(source_xu.ternary_prob((n,)))
+    elif u_dist == "binary_prob":
+        u = jnp.asarray(source_xu.binary_prob((n,)))
+    else:
+        raise ValueError(u_dist)
+    u_dft = dft.svp_prepare(module, u)
+    noise = NoiseInfos(k=pk_k, sigma=sigma, bound=bound)
+    limb, scale = noise.target_limb_and_scale(base2k)
+
+    out_cols = []
+    for i in range(cols):
+        ci_dft = dft.svp_apply(module, pk_prepared[..., i, :, :, :], u_dft)
+        ci_big = dft.idft_apply(module, ci_dft)
+        e = source_xe.normal_f64((n,), sigma * scale, bound * scale)
+        ci_big = ci_big.at[..., limb, :].add(jnp.asarray(e.astype(np.int64)))
+        if pt is not None and i == 0:
+            pt_pad = dft._align_limbs(
+                pt.data, ci_big, ci_big.shape[-2], limb_axis=-2
+            )[0]
+            ci_big = ci_big + pt_pad
+        out_cols.append(
+            dft.big_normalize(module, size, base2k, ci_big, base2k)
+        )
+    data = jnp.stack(out_cols, axis=-3)
+    return GLWECiphertext(data=data, base2k=base2k, k=pk_k)

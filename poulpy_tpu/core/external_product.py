@@ -8,12 +8,19 @@ matrix and no small term is added back (stack §3.2).  dsize > 1 uses the
 
 from __future__ import annotations
 
+import functools
+
+import jax
+
 from poulpy_tpu.core.layouts import GLWECiphertext, glwe_size
 from poulpy_tpu.core.prepared import GGSWPrepared
 from poulpy_tpu.hal import dft
 from poulpy_tpu.hal.module import Module
 
 
+@functools.partial(
+    jax.jit, static_argnames=("module", "res_base2k", "res_k")
+)
 def glwe_external_product(
     module: Module,
     a: GLWECiphertext,

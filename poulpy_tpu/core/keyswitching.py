@@ -8,6 +8,10 @@ SURVEY.md).
 
 from __future__ import annotations
 
+import functools
+
+import jax
+
 from poulpy_tpu.core.layouts import GLWECiphertext, glwe_size
 from poulpy_tpu.core.prepared import GGLWEPrepared
 from poulpy_tpu.hal import dft
@@ -46,6 +50,9 @@ def gglwe_product_dft(
     return res
 
 
+@functools.partial(
+    jax.jit, static_argnames=("module", "res_base2k", "res_k")
+)
 def glwe_keyswitch(
     module: Module,
     a: GLWECiphertext,
@@ -83,3 +90,60 @@ def glwe_normalize(
     size = glwe_size(base2k, k)
     data = vec_znx_normalize_full(size, base2k, 0, a.data, a.base2k)
     return GLWECiphertext(data=data, base2k=base2k, k=k)
+
+
+def lwe_keyswitch(
+    module: Module,
+    a,                        # LWECiphertext
+    ksk: GGLWEPrepared,       # switching key between embedded LWE secrets
+    n_lwe_out: int,
+    res_base2k: int | None = None,
+    res_k: int | None = None,
+):
+    """LWE → LWE keyswitch (keyswitching/lwe.rs:49-110): embed the LWE into
+    a rank-1 GLWE, GLWE-keyswitch with the LWESwitchingKey (encrypted
+    between the φ_{-1}-embedded LWE secrets), extract coefficient 0."""
+    import jax.numpy as jnp
+
+    from poulpy_tpu.core.conversion import lwe_sample_extract
+
+    n = module.n
+    size = a.size
+    batch = a.data.shape[:-2]
+    body = jnp.zeros(batch + (size, n), jnp.int64).at[..., :, 0].set(
+        a.data[..., :, 0]
+    )
+    mask = jnp.zeros(batch + (size, n), jnp.int64).at[..., :, : a.n_lwe].set(
+        a.data[..., :, 1:]
+    )
+    glwe = GLWECiphertext(
+        data=jnp.stack([body, mask], axis=-3), base2k=a.base2k, k=a.k
+    )
+    ks = glwe_keyswitch(module, glwe, ksk, res_base2k, res_k)
+    return lwe_sample_extract(ks, n_lwe_out, ks.k)
+
+
+def lwe_switching_key_encrypt_sk(
+    module: Module,
+    sk_lwe_in,
+    sk_lwe_out,
+    base2k: int,
+    k: int,
+    dnum: int,
+    source_xe,
+    source_xa,
+    **kw,
+) -> GGLWEPrepared:
+    """LWESwitchingKey (encryption/lwe_switching_key.rs): switching key
+    between the φ_{-1}-embedded images of two LWE secrets."""
+    from poulpy_tpu.core.conversion import lwe_secret_as_glwe
+    from poulpy_tpu.core.encryption import glwe_switching_key_encrypt_sk
+    from poulpy_tpu.core.prepared import gglwe_prepare, glwe_secret_prepare
+
+    sk_in = lwe_secret_as_glwe(module, sk_lwe_in)
+    sk_out = lwe_secret_as_glwe(module, sk_lwe_out)
+    sk_out_prep = glwe_secret_prepare(module, sk_out)
+    ksk = glwe_switching_key_encrypt_sk(
+        module, sk_in, sk_out_prep, base2k, k, dnum, source_xe, source_xa, **kw
+    )
+    return gglwe_prepare(module, ksk)

@@ -104,3 +104,50 @@ def _pack_internal(
     t = 1 << (module.log_n - i - 1)
     tmp = glwe_rsh(1, glwe_rotate(t, b))
     return glwe_sub(tmp, glwe_automorphism(module, tmp, key, b.base2k, b.k))
+
+
+class GLWEPacker:
+    """Streaming packer with log(N) memory (GLWEPacker,
+    poulpy-core/src/glwe_packer.rs:20-113): ciphertexts are fed one at a
+    time; a binary-counter tree of accumulators folds pairs with the same
+    recursion as `glwe_pack`.  Output coefficient order is bit-reversed
+    (glwe_packer.rs docstring)."""
+
+    def __init__(self, module: Module, log_batch: int = 0):
+        self.module = module
+        self.log_batch = log_batch
+        n_acc = module.log_n - log_batch
+        self.accs: list = [(None, False)] * n_acc  # (value, control)
+        self.counter = 0
+
+    def add(self, ct: GLWECiphertext | None, keys) -> None:
+        """Feed the next ciphertext (or None for an empty slot)
+        (glwe_packer_add, glwe_packer.rs:120-139)."""
+        assert self.counter < self.module.n >> self.log_batch, "packer full"
+        self._pack_core(ct, 0, keys)
+        self.counter += 1
+
+    def _pack_core(self, a, j: int, keys) -> None:
+        """pack_core (glwe_packer.rs:229-265): binary-counter fold."""
+        if j == len(self.accs):
+            return
+        level = self.log_batch + j
+        val, ctrl = self.accs[j]
+        if not ctrl:
+            self.accs[j] = (a, True)
+            return
+        p = -1 if level == 0 else self.module.galois_element(1 << (level - 1))
+        merged = _pack_internal(self.module, val, a, level, keys[p])
+        # keep the merged value in place (the reference combines in-place and
+        # only marks the slot overridable, glwe_packer.rs:255-263) — the last
+        # accumulator must still hold the result for flush()
+        self.accs[j] = (merged, False)
+        self._pack_core(merged, j + 1, keys)
+
+    def flush(self) -> GLWECiphertext:
+        """Return the packed result and reset (glwe_packer_flush)."""
+        assert self.counter == self.module.n >> self.log_batch, "packer not full"
+        out = self.accs[-1][0]
+        self.accs = [(None, False)] * len(self.accs)
+        self.counter = 0
+        return out

@@ -105,6 +105,12 @@ def gglwe_prepare(module: Module, ct: GGLWECiphertext) -> GGLWEPrepared:
     )
 
 
+def glwe_tensor_key_prepare(module: Module, keys: dict) -> GLWETensorKeyPrepared:
+    return GLWETensorKeyPrepared(
+        keys={k: gglwe_prepare(module, v) for k, v in keys.items()}
+    )
+
+
 def ggsw_prepare(module: Module, ct: GGSWCiphertext) -> GGSWPrepared:
     return GGSWPrepared(
         pmat=dft.vmp_prepare(module, ct.data),

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from poulpy_tpu.hal.module import Module
 from poulpy_tpu.hal.normalization import vec_znx_normalize_full
 from poulpy_tpu.hal.ntt import (
+    fold_mod,
     garner_lift,
     mont_mul,
     ntt_forward,
@@ -33,6 +34,26 @@ from poulpy_tpu.hal.ntt import (
     to_residues,
 )
 from poulpy_tpu.hal.znx import znx_automorphism
+
+
+def _ntt_fwd(t, r):
+    from poulpy_tpu import backends
+
+    if backends.use_pallas():
+        from poulpy_tpu.backends.pallas_ntt import pallas_ntt_forward
+
+        return pallas_ntt_forward(t, r)
+    return ntt_forward(t, r)
+
+
+def _ntt_inv(t, r):
+    from poulpy_tpu import backends
+
+    if backends.use_pallas():
+        from poulpy_tpu.backends.pallas_ntt import pallas_ntt_inverse
+
+        return pallas_ntt_inverse(t, r)
+    return ntt_inverse(t, r)
 
 
 # --------------------------------------------------------------------------
@@ -62,7 +83,7 @@ def dft_apply(
         for j in range(min(res_size, steps))
         if offset + j * step < a_size
     ]
-    r = ntt_forward(t, to_residues(t, a[..., idx, :]))
+    r = _ntt_fwd(t, to_residues(t, a[..., idx, :]))
     if len(idx) < res_size:
         pads = [(0, 0)] * r.ndim
         pads[-3] = (0, res_size - len(idx))
@@ -78,7 +99,7 @@ def idft_apply(module: Module, a_dft):
     convolution result as wrapping int64 (the FFT64-family ScalarBig).
     """
     t = module.tables
-    return garner_lift(t, ntt_inverse(t, a_dft))
+    return garner_lift(t, _ntt_inv(t, a_dft))
 
 
 def dft_copy(a_dft, step: int = 1, offset: int = 0, res_size: int | None = None):
@@ -119,21 +140,23 @@ def _align_limbs(a, b, res_size, limb_axis=-3):
 def dft_add(module: Module, a_dft, b_dft, res_size: int | None = None):
     """vec_znx_dft_add semantics (sum over the common limbs, copy the
     longer operand's tail, zero beyond — vec_znx_dft.rs:14-66)."""
+    from poulpy_tpu.hal.ntt import add_mod
+
     p = module.tables.p[:, None]
     if res_size is None:
         res_size = max(a_dft.shape[-3], b_dft.shape[-3])
     a, b = _align_limbs(a_dft, b_dft, res_size)
-    s = a + b
-    return jnp.where(s >= p, s - p, s)
+    return add_mod(a, b, p)
 
 
 def dft_sub(module: Module, a_dft, b_dft, res_size: int | None = None):
+    from poulpy_tpu.hal.ntt import sub_mod
+
     p = module.tables.p[:, None]
     if res_size is None:
         res_size = max(a_dft.shape[-3], b_dft.shape[-3])
     a, b = _align_limbs(a_dft, b_dft, res_size)
-    d = a - b
-    return jnp.where(d < 0, d + p, d)
+    return sub_mod(a, b, p)
 
 
 # --------------------------------------------------------------------------
@@ -144,7 +167,7 @@ def svp_prepare(module: Module, s):
     """Scalar poly `[..., N]` → Montgomery NTT form `[..., P, N]`
     (SvpPrepare, reference/fft64/svp.rs)."""
     t = module.tables
-    return to_mont(t, ntt_forward(t, to_residues(t, s)))
+    return to_mont(t, _ntt_fwd(t, to_residues(t, s)))
 
 
 def svp_apply(module: Module, a_dft, s_ppol):
@@ -167,7 +190,7 @@ def vmp_prepare(module: Module, mat):
     pmat (vmp_prepare, reference/fft64/vmp.rs:52-97, without the reim4
     shuffle — see module docstring)."""
     t = module.tables
-    return to_mont(t, ntt_forward(t, to_residues(t, mat)))
+    return to_mont(t, _ntt_fwd(t, to_residues(t, mat)))
 
 
 def vmp_apply(
@@ -187,17 +210,23 @@ def vmp_apply(
     rows·cols_in·p < 2^40) with a single final reduction.
     """
     t = module.tables
+    from poulpy_tpu import backends
+
     rows, cols_in, cols_out, psize = pmat.shape[:4]
     a_size = a_dft.shape[-3]
     assert a_dft.shape[-4] == cols_in
     if res_size is None:
         res_size = psize
+    if backends.use_pallas():
+        from poulpy_tpu.backends.pallas_vmp import pallas_vmp_apply
+
+        return pallas_vmp_apply(module, a_dft, pmat, limb_offset, res_size)
     rmax = min(rows, a_size)
     out_cols = max(0, min(psize - limb_offset, res_size))
     if out_cols == 0 or rmax == 0:
         return jnp.zeros(
             a_dft.shape[:-4] + (cols_out, res_size, module.nprimes, module.n),
-            jnp.int64,
+            a_dft.dtype,
         )
     p = t.p[:, None]
     qinv = t.qinv[:, None]
@@ -207,9 +236,9 @@ def vmp_apply(
         a_r = a_dft[..., :, r, None, None, :, :]
         pm_r = pmat[r, :, :, limb_offset : limb_offset + out_cols]
         prod = mont_mul(a_r, pm_r, p, qinv)
-        s = jnp.sum(prod, axis=-5)  # over ci -> [..., co, j, P, N]
+        s = jnp.sum(prod.astype(jnp.int64), axis=-5)  # over ci
         acc = s if acc is None else acc + s
-    res = acc % p
+    res = fold_mod(acc, p, t.qinv[:, None], t.r2[:, None]).astype(a_dft.dtype)
     if out_cols < res_size:
         pad = [(0, 0)] * res.ndim
         pad[-3] = (0, res_size - out_cols)
@@ -225,13 +254,13 @@ def cnv_prepare_left(module: Module, a):
     """Left operand: standard-form NTT of each limb
     (CnvPVecL, reference/fft64/convolution.rs)."""
     t = module.tables
-    return ntt_forward(t, to_residues(t, a))
+    return _ntt_fwd(t, to_residues(t, a))
 
 
 def cnv_prepare_right(module: Module, b):
     """Right operand: Montgomery-form NTT of each limb (CnvPVecR)."""
     t = module.tables
-    return to_mont(t, ntt_forward(t, to_residues(t, b)))
+    return to_mont(t, _ntt_fwd(t, to_residues(t, b)))
 
 
 def cnv_apply(module: Module, a_prep, b_prep, res_size: int):
@@ -251,16 +280,18 @@ def cnv_apply(module: Module, a_prep, b_prep, res_size: int):
             if 0 <= j < b_size:
                 prod = mont_mul(
                     a_prep[..., i, :, :], b_prep[..., j, :, :], p, qinv
-                )
+                ).astype(jnp.int64)
                 acc = prod if acc is None else acc + prod
         if acc is None:
             acc = jnp.zeros(
                 jnp.broadcast_shapes(a_prep.shape[:-3], b_prep.shape[:-3])
                 + a_prep.shape[-2:],
-                jnp.int64,
+                a_prep.dtype,
             )
         else:
-            acc = acc % p
+            acc = fold_mod(acc, p, t.qinv[:, None], t.r2[:, None]).astype(
+                a_prep.dtype
+            )
         out.append(acc)
     return jnp.stack(out, axis=-3)
 

@@ -4,8 +4,8 @@ This is the TPU-native DFT domain replacing both reference families:
   * FFT64's `reim` f64 FFT (poulpy-cpu-ref/src/reference/fft64/reim/fft_ref.rs:25-43)
     — not portable to TPU (no f64 vector hardware), and
   * NTT120's 4×~30-bit-prime CRT NTT (poulpy-cpu-ref/src/reference/ntt120/ntt.rs:558,617)
-    — same mathematical idea, but re-derived here for i64-emulation-friendly
-    Montgomery form (R = 2^32) rather than the reference's Q120 lazy layout.
+    — same mathematical idea, but re-derived here in Montgomery form with
+    R = 2^30 (i32-digit friendly) rather than the reference's Q120 layout.
 
 All kernels are pure `jnp` int64 and shape-polymorphic: residue tensors are
 `[..., P, N]` with P = number of primes, N = ring degree.  XLA lowers int64
@@ -25,7 +25,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from poulpy_tpu.hal.primes import MASK32, PrimeBasis
+from poulpy_tpu.hal.primes import MASK30, MASK32, PrimeBasis
 
 I64 = jnp.int64
 
@@ -35,28 +35,34 @@ I64 = jnp.int64
 # --------------------------------------------------------------------------
 
 def mont_mul(a, b_mont, p, qinv):
-    """REDC(a · b_mont) = a·b mod p, for 0 ≤ a,b < p < 2^30.
+    """REDC_{R=2^30}(a · b_mont) = a·b mod p, for 0 ≤ a,b < p < 2^30.
 
-    t + m·p < 2^60 + 2^62 stays in signed int64.
+    t + m·p < 2^60 + 2^60 stays in signed int64; R = 2^30 keeps every
+    intermediate 30-bit-digit-decomposable for the i32 Pallas kernels.
+    Accepts int32 or int64 operands; result has the dtype of `a`.
     """
-    t = a * b_mont
-    m = ((t & MASK32) * qinv) & MASK32
-    u = (t + m * p) >> 32
-    return jnp.where(u >= p, u - p, u)
+    dt = a.dtype if hasattr(a, "dtype") else jnp.int64
+    t = a.astype(I64) * b_mont.astype(I64)
+    m = ((t & MASK30) * jnp.asarray(qinv, I64)) & MASK30
+    u = (t + m * jnp.asarray(p, I64)) >> 30
+    return jnp.where(u >= p, u - p, u).astype(dt)
 
 
 def add_mod(a, b, p):
+    pa = jnp.asarray(p).astype(a.dtype)  # avoid silent i32→i64 promotion
     s = a + b
-    return jnp.where(s >= p, s - p, s)
+    return jnp.where(s >= pa, s - pa, s)
 
 
 def sub_mod(a, b, p):
+    pa = jnp.asarray(p).astype(a.dtype)
     d = a - b
-    return jnp.where(d < 0, d + p, d)
+    return jnp.where(d < 0, d + pa, d)
 
 
 def neg_mod(a, p):
-    return jnp.where(a == 0, a, p - a)
+    pa = jnp.asarray(p).astype(a.dtype)
+    return jnp.where(a == 0, a, pa - a)
 
 
 def mul_mod(a, b, p):
@@ -64,18 +70,35 @@ def mul_mod(a, b, p):
     return (a * b) % p
 
 
-def reduce_i64(x, p, two32_mod_p):
-    """Arbitrary signed int64 → residue in [0, p).
+def fold_mod(acc, p, qinv, r2):
+    """Non-negative int64 accumulator (< 2^59) → [0, p), division-free:
+    one REDC then ·R²·R^{-1}."""
+    m = ((acc & MASK30) * qinv) & MASK30
+    u = (acc + m * p) >> 30
+    for _ in range(3):
+        u = jnp.where(u >= p, u - p, u)
+    return mont_mul(u, r2, p, qinv)
 
-    Splits x = hi·2^32 + lo (lo unsigned) so every intermediate product
-    stays < 2^61.  Used when entering the NTT domain
-    (reference analogue: reim_from_znx / i64→NTT conversion,
-    poulpy-cpu-ref/src/reference/fft64/reim/conversion.rs).
+
+def reduce_i64(x, p, qinv, r2, t40):
+    """Any signed int64 → residue in [0, p), division-free.
+
+    i64 `%` is catastrophically slow on TPU (emulated long division).
+    Two-stage fold instead: (1) x = x_hi·2^40 + x_lo with x_lo the unsigned
+    low 40 bits folds to |y| < 2^55; (2) offset by the p-multiple p·2^29 to
+    make it non-negative, one REDC (→ x·R^{-1} mod p, < 2^31), three
+    conditional subtracts, then ·R²·R^{-1} cancels the stray R^{-1}.
+    Reference analogue: reim_from_znx (reference/fft64/reim/conversion.rs).
     """
-    lo = x & MASK32
-    hi = x >> 32  # arithmetic shift: sign lives here
-    r = (hi % p) * two32_mod_p + lo  # < 2^60 + 2^32
-    return r % p
+    x_lo = x & ((1 << 40) - 1)
+    x_hi = x >> 40                  # signed, |x_hi| < 2^24
+    y = x_hi * t40 + x_lo           # ≡ x (mod p), |y| < 2^55
+    yp = y + (p << 29)              # > 0, < 2^59 < p·R
+    m = ((yp & MASK30) * qinv) & MASK30
+    u = (yp + m * p) >> 30          # ≡ x·R^{-1} (mod p), < 2^31
+    for _ in range(3):
+        u = jnp.where(u >= p, u - p, u)
+    return mont_mul(u, r2, p, qinv)
 
 
 # --------------------------------------------------------------------------
@@ -132,9 +155,12 @@ class NttTables:
         self.qinv = jnp.asarray(basis.qinv_arr)    # [P]
         self.r2 = jnp.asarray(basis.r2_arr)        # [P]
         self.two32_mod_p = jnp.asarray(basis.two32_mod_p_arr)
+        self.two40_mod_p = jnp.asarray(basis.two40_mod_p_arr)
         # Garner lift constants
         self.garner_inv = jnp.asarray(basis.garner_inv)            # [P]
         self.garner_pprod = jnp.asarray(basis.garner_pprod_mod)    # [P, P]
+        self.garner_inv_mont = jnp.asarray(basis.garner_inv_mont)
+        self.garner_pprod_mont = jnp.asarray(basis.garner_pprod_mont)
         self.garner_weight = jnp.asarray(basis.garner_weight_u64)  # [P]
         self.modulus_u64 = jnp.asarray(basis.modulus_u64)          # scalar
         self.half_digits = jnp.asarray(basis.half_digits)          # [P]
@@ -199,10 +225,12 @@ def ntt_inverse(t: NttTables, x):
 # --------------------------------------------------------------------------
 
 def to_residues(t: NttTables, x):
-    """int64 `[..., N]` → standard residues `[..., P, N]`."""
+    """int64 `[..., N]` → standard residues `[..., P, N]` (int32 at rest —
+    the DFT-domain storage dtype, halving HBM traffic)."""
     return reduce_i64(
-        x[..., None, :], t.p[:, None], t.two32_mod_p[:, None]
-    )
+        x[..., None, :], t.p[:, None], t.qinv[:, None], t.r2[:, None],
+        t.two40_mod_p[:, None],
+    ).astype(jnp.int32)
 
 
 def to_mont(t: NttTables, r):
@@ -220,15 +248,19 @@ def garner_lift(t: NttTables, r):
     mixed-radix digit vector exceeds floor(M/2).  Exact whenever the true
     value's magnitude is < M/2 (guaranteed by Module parameter validation).
     """
+    r = r.astype(I64)
     P = r.shape[-2]
     p = t.p
     digits = []
     for i in range(P):
         x = r[..., i, :]
         for j in range(i):
-            x = sub_mod(x, mul_mod(digits[j], t.garner_pprod[i, j], p[i]), p[i])
+            # division-free: constants pre-multiplied by R, one REDC each
+            x = sub_mod(
+                x, mont_mul(digits[j], t.garner_pprod_mont[i, j], p[i], t.qinv[i]), p[i]
+            )
         if i > 0:
-            x = mul_mod(x, t.garner_inv[i], p[i])
+            x = mont_mul(x, t.garner_inv_mont[i], p[i], t.qinv[i])
         digits.append(x)
     # V mod 2^64 (wrapping int64 multiply-accumulate)
     v = jnp.zeros_like(r[..., 0, :])

@@ -29,9 +29,13 @@ import numpy as np
 LOG_N_MAX = 16
 PSI_ORDER = 1 << (LOG_N_MAX + 1)
 
-R_BITS = 32
+# Montgomery radix R = 2^30: chosen so every intermediate of a REDC fits in
+# 30-bit-digit i32 arithmetic (the Pallas kernels) while the jnp int64 path
+# uses the same prepared-operand format (t + m·p < 2^60 + 2^60 < 2^63).
+R_BITS = 30
 R = 1 << R_BITS
-MASK32 = R - 1
+MASK30 = R - 1
+MASK32 = (1 << 32) - 1
 
 
 def _is_prime(n: int) -> bool:
@@ -149,6 +153,11 @@ class PrimeBasis:
         """2^32 mod p (for folding i64 values into the basis)."""
         return np.array([(1 << 32) % p for p in self.primes], dtype=np.int64)
 
+    @functools.cached_property
+    def two40_mod_p_arr(self) -> np.ndarray:
+        """2^40 mod p (first-stage fold of full-range i64 inputs)."""
+        return np.array([(1 << 40) % p for p in self.primes], dtype=np.int64)
+
     # --- Garner / mixed-radix CRT lift constants ------------------------
 
     @functools.cached_property
@@ -172,6 +181,24 @@ class PrimeBasis:
             for j in range(P):
                 out[i][j] = prod % p
                 prod *= self.primes[j]
+        return out
+
+    @functools.cached_property
+    def garner_pprod_mont(self) -> np.ndarray:
+        """Montgomery form of garner_pprod_mod (division-free Garner)."""
+        P = self.nprimes
+        out = np.zeros((P, P), dtype=np.int64)
+        for i, p in enumerate(self.primes):
+            for j in range(P):
+                out[i][j] = int(self.garner_pprod_mod[i][j]) * R % p
+        return out
+
+    @functools.cached_property
+    def garner_inv_mont(self) -> np.ndarray:
+        out = np.zeros(self.nprimes, dtype=np.int64)
+        for i, p in enumerate(self.primes):
+            if i > 0:
+                out[i] = int(self.garner_inv[i]) * R % p
         return out
 
     @functools.cached_property

@@ -31,7 +31,7 @@ def shard_batch(mesh, x, axis: int = 0):
     return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
 
-def _local_tables(module: Module, psi, psi_inv, n_inv, p, qinv, r2, two32):
+def _local_tables(module: Module, psi, psi_inv, n_inv, p, qinv, r2, two40):
     t = SimpleNamespace(
         n=module.n,
         logn=module.log_n,
@@ -41,7 +41,7 @@ def _local_tables(module: Module, psi, psi_inv, n_inv, p, qinv, r2, two32):
         p=p,
         qinv=qinv,
         r2=r2,
-        two32_mod_p=two32,
+        two40_mod_p=two40,
     )
     return SimpleNamespace(tables=t, n=module.n, nprimes=p.shape[0])
 
@@ -61,8 +61,8 @@ def sharded_external_product_fn(
     """
     t = module.tables
 
-    def local_step(ct, pmat, psi, psi_inv, n_inv, p, qinv, r2, two32):
-        lm = _local_tables(module, psi, psi_inv, n_inv, p, qinv, r2, two32)
+    def local_step(ct, pmat, psi, psi_inv, n_inv, p, qinv, r2, two40):
+        lm = _local_tables(module, psi, psi_inv, n_inv, p, qinv, r2, two40)
         a_dft = dft.dft_apply(lm, ct)                    # local primes
         res_dft = dft.vmp_apply(lm, a_dft, pmat)
         res_coeff = ntt_inverse(lm.tables, res_dft)      # still local primes
@@ -84,7 +84,7 @@ def sharded_external_product_fn(
             P("tp"),                                     # p
             P("tp"),                                     # qinv
             P("tp"),                                     # r2
-            P("tp"),                                     # two32
+            P("tp"),                                     # two40
         ),
         out_specs=P("dp"),
         check_vma=False,
@@ -93,7 +93,7 @@ def sharded_external_product_fn(
     def fn(ct_data, pmat):
         return shard(
             ct_data, pmat, t.psi_brv, t.psi_inv_brv, t.n_inv,
-            t.p, t.qinv, t.r2, t.two32_mod_p,
+            t.p, t.qinv, t.r2, t.two40_mod_p,
         )
 
     return jax.jit(fn)

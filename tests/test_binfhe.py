@@ -1,0 +1,233 @@
+"""bin-fhe tests: LUT, blind rotation, gate bootstrap truth tables,
+circuit bootstrapping (functional equivalents of
+poulpy-bin-fhe/src/*/tests/)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from poulpy_tpu.binfhe import gates
+from poulpy_tpu.binfhe.blind_rotation import (
+    blind_rotation_execute,
+    blind_rotation_key_encrypt_sk,
+    mod_switch_2n,
+)
+from poulpy_tpu.binfhe.circuit_bootstrapping import (
+    circuit_bootstrap,
+    circuit_bootstrapping_keygen,
+)
+from poulpy_tpu.binfhe.lut import lookup_table_new
+from poulpy_tpu.core import decryption as dec
+from poulpy_tpu.core import encryption as enc
+from poulpy_tpu.core.external_product import glwe_external_product
+from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext
+from poulpy_tpu.core.prepared import ggsw_prepare, glwe_secret_prepare
+from poulpy_tpu.hal import vec_znx, znx
+from poulpy_tpu.hal.module import get_module
+from poulpy_tpu.hal.source import Source
+
+RNG = np.random.default_rng(5)
+
+
+def test_lut_set_semantics():
+    n, base2k, k = 32, 17, 34
+    f = np.arange(8, dtype=np.int64)
+    lut = lookup_table_new(n, base2k, k, f, f_k=6)
+    # after drift pre-rotation, window centers decode back to f values
+    from poulpy_tpu.hal.vec_znx import decode_vec_i64, vec_znx_rotate
+
+    step = n // 8
+    for j in range(8):
+        # rotate so window j's center lands on coefficient 0
+        rot = vec_znx_rotate(-(j * step), lut.data[0])
+        val = np.asarray(decode_vec_i64(base2k, 6, rot))[0]
+        assert val == f[j], (j, val)
+
+
+def test_mod_switch_2n():
+    base2k, k = 17, 34
+    n = 64
+    # encrypt "plaintext-only" LWE with zero secret to check rounding
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    sk = jnp.zeros((8,), jnp.int64)
+    for val in [0, 5, -5, 31, -32]:
+        pt = np.zeros((2, 1), dtype=np.int64)
+        pt[0, 0] = val << (base2k - 7)  # value val/2^7
+        ct = enc.lwe_encrypt_sk(None, jnp.asarray(pt), sk, base2k, k, xe, xa)
+        idx = mod_switch_2n(2 * n, ct, rot_dir="right")
+        # expected: round(val/2^7 · 2N) = val
+        assert abs(int(idx[0]) - val) <= 1, (val, int(idx[0]))
+
+
+@pytest.fixture(scope="module")
+def br_ctx():
+    m = get_module(64, 4)
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    n_lwe = 16
+    sk_lwe = src.binary_prob((n_lwe,))
+    sk_glwe = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk_glwe)
+    brk = blind_rotation_key_encrypt_sk(
+        m, jnp.asarray(sk_lwe), skp, 17, 68, 4, xe, xa
+    )
+    return m, sk_lwe, sk_glwe, skp, brk
+
+
+def test_blind_rotation_value(br_ctx):
+    m, sk_lwe, sk_glwe, skp, brk = br_ctx
+    base2k, k_ct = 17, 34
+    xe, xa = Source(b"\x03" * 32), Source(b"\x04" * 32)
+    # LUT f(x) = x over 5-bit domain
+    f = np.arange(32, dtype=np.int64)
+    lut = lookup_table_new(m.n, base2k, 34, f, f_k=10)
+    for msg in [0, 3, 17, 31]:
+        pt = np.zeros((2, 1), dtype=np.int64)
+        # msg/2^6: the 32-entry LUT covers the positive half-circle, so the
+        # domain encoding is log_domain+1 = 6 bits (phase = msg·2N/2^6)
+        pt[0, 0] = msg << (base2k - 6)
+        lwe = enc.lwe_encrypt_sk(
+            None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, k_ct, xe, xa
+        )
+        acc = blind_rotation_execute(m, lwe, lut, brk)
+        glwe = GLWECiphertext(data=acc, base2k=base2k, k=lut.size * base2k)
+        ptd = dec.glwe_decrypt(m, glwe, skp)
+        val = np.asarray(vec_znx.decode_vec_i64(base2k, 10, ptd.data))[0]
+        assert abs(int(val) - msg) <= 1, (msg, val)
+
+
+def test_blind_rotation_batched(br_ctx):
+    m, sk_lwe, sk_glwe, skp, brk = br_ctx
+    base2k, k_ct = 17, 34
+    xe, xa = Source(b"\x03" * 32), Source(b"\x04" * 32)
+    f = np.arange(32, dtype=np.int64)
+    lut = lookup_table_new(m.n, base2k, 34, f, f_k=10)
+    msgs = np.array([1, 7, 20, 30], dtype=np.int64)
+    pt = np.zeros((4, 2, 1), dtype=np.int64)
+    pt[:, 0, 0] = msgs << (base2k - 6)
+    lwe = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, k_ct, xe, xa
+    )
+    acc = blind_rotation_execute(m, lwe, lut, brk)
+    assert acc.shape[0] == 4
+    glwe = GLWECiphertext(data=acc, base2k=base2k, k=lut.size * base2k)
+    ptd = dec.glwe_decrypt(m, glwe, skp)
+    vals = np.asarray(vec_znx.decode_vec_i64(base2k, 10, ptd.data))[:, 0]
+    assert np.max(np.abs(vals - msgs)) <= 1, (msgs, vals)
+
+
+@pytest.fixture(scope="module")
+def gate_ctx():
+    params = gates.GateParams(
+        n_glwe=64, n_lwe=16, base2k=17, k_ct=34, k_brk=68,
+        dnum_brk=4, k_ksk=51, dnum_ksk=2, nprimes=4,
+    )
+    keys, sk = gates.keygen(params)
+    return params, keys, sk
+
+
+@pytest.mark.parametrize(
+    "gate,table",
+    [
+        (gates.gate_nand, lambda a, b: 1 - (a & b)),
+        (gates.gate_and, lambda a, b: a & b),
+        (gates.gate_or, lambda a, b: a | b),
+        (gates.gate_nor, lambda a, b: 1 - (a | b)),
+        (gates.gate_xor, lambda a, b: a ^ b),
+        (gates.gate_xnor, lambda a, b: 1 - (a ^ b)),
+    ],
+)
+def test_gate_truth_tables(gate_ctx, gate, table):
+    params, keys, sk = gate_ctx
+    xe, xa = Source(b"\x05" * 32), Source(b"\x06" * 32)
+    for b1 in (0, 1):
+        for b2 in (0, 1):
+            c1 = gates.encrypt_bit(params, b1, sk, xe, xa)
+            c2 = gates.encrypt_bit(params, b2, sk, xe, xa)
+            out = gate(keys, c1, c2)
+            assert gates.decrypt_bit(out, sk) == table(b1, b2), (b1, b2)
+
+
+def test_gate_batched(gate_ctx):
+    params, keys, sk = gate_ctx
+    xe, xa = Source(b"\x07" * 32), Source(b"\x08" * 32)
+    b1 = np.array([0, 0, 1, 1])
+    b2 = np.array([0, 1, 0, 1])
+    c1 = gates.encrypt_bit(params, b1, sk, xe, xa)
+    c2 = gates.encrypt_bit(params, b2, sk, xe, xa)
+    out = gates.gate_nand(keys, c1, c2)
+    got = gates.decrypt_bit(out, sk)
+    assert np.array_equal(got, 1 - (b1 & b2))
+
+
+def test_circuit_bootstrap_to_constant(br_ctx):
+    m, sk_lwe, sk_glwe, skp, brk = br_ctx
+    base2k = 17
+    xe, xa = Source(b"\x09" * 32), Source(b"\x0a" * 32)
+    cbt = circuit_bootstrapping_keygen(
+        m, sk_lwe, sk_glwe, skp, base2k,
+        k_brk=68, dnum_brk=4, k_atk=68, dnum_atk=4, k_tsk=68, dnum_tsk=4,
+        source_xe=xe, source_xa=xa,
+    )
+    log_domain = 3
+    msg = 1  # GGSW(1) acts as identity in external product
+    pt = np.zeros((2, 1), dtype=np.int64)
+    pt[0, 0] = msg << (base2k - 1 - log_domain)
+    lwe = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, 34, xe, xa
+    )
+    # dnum_res=3 → GGSW k=51: the gadget truncation floor 2^-51 stays well
+    # under the tolerance (reference example uses GGSW k=51/dnum=3,
+    # poulpy-bin-fhe/examples/bdd_arithmetic.rs:64-106)
+    ggsw = circuit_bootstrap(m, lwe, log_domain, cbt, dnum_res=3, k_res=51)
+    # external product with GGSW(1) ≈ identity
+    data = RNG.integers(-(2**12), 2**12, size=m.n, dtype=np.int64)
+    pt_g = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 30, 2, jnp.asarray(data)),
+        base2k=base2k, k=30,
+    )
+    ct = enc.glwe_encrypt_sk(m, pt_g, skp, base2k, 51, xe, xa)
+    out = glwe_external_product(m, ct, ggsw_prepare(m, ggsw))
+    ptd = dec.glwe_decrypt(m, out, skp)
+    got = np.asarray(vec_znx.decode_vec_i64(base2k, 30, ptd.data))
+    err = np.abs(got - data).max()
+    # three chained gadget stages (blind rotation → trace keyswitches →
+    # GGSW expansion → external product) leave ~2^-40 noise at these toy
+    # parameters → a few hundred at the 2^-30 plaintext scale
+    assert err <= 1024, err
+
+
+def test_fheuint_bdd_add(br_ctx):
+    """End-to-end BDD arithmetic: prepared 4-bit uints through the add
+    circuit (bdd_arithmetic test_suite analogue, scaled to toy params)."""
+    from poulpy_tpu.binfhe import bdd as bddm
+    from poulpy_tpu.core.conversion import glwe_to_lwe_key_encrypt_sk
+
+    m, sk_lwe, sk_glwe, skp, brk = br_ctx
+    base2k = 17
+    xe, xa = Source(b"\x0b" * 32), Source(b"\x0c" * 32)
+    cbt = circuit_bootstrapping_keygen(
+        m, sk_lwe, sk_glwe, skp, base2k,
+        k_brk=68, dnum_brk=4, k_atk=68, dnum_atk=4, k_tsk=68, dnum_tsk=4,
+        source_xe=xe, source_xa=xa,
+    )
+    n_lwe = len(sk_lwe)
+    ks_lwe = glwe_to_lwe_key_encrypt_sk(
+        m, jnp.asarray(sk_lwe), sk_glwe, base2k, 51, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    key = bddm.BDDKey(
+        cbt=cbt, ks_lwe=ks_lwe, n_lwe=n_lwe, base2k=base2k,
+        k_ct=51, dnum_ggsw=3, k_ggsw=51,
+    )
+    width = 4
+    va, vb = 11, 7
+    ca = bddm.fheuint_encrypt(m, va, width, skp, base2k, 51, xe, xa)
+    cb = bddm.fheuint_encrypt(m, vb, width, skp, base2k, 51, xe, xa)
+    pa = bddm.fheuint_prepare(m, ca, key)
+    pb = bddm.fheuint_prepare(m, cb, key)
+    out = bddm.fheuint_op(m, "add", pa, pb, base2k, 51)
+    got = bddm.fheuint_decrypt(m, bddm.FheUint(glwe=out, width=width), skp)
+    assert got == (va + vb) % 16, got

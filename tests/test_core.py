@@ -299,3 +299,36 @@ def test_lsh_rsh_ct(ctx):
     up = glwe_lsh(4, ct)
     got = decode(m, up, skp, k=K_PT - 4)  # message scale moved by 2^4
     assert np.max(np.abs(got - data)) <= 1
+
+
+def test_public_key_encryption(ctx):
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    xu = Source(b"\x0b" * 32)
+    pk = enc.glwe_public_key_generate(m, skp, BASE2K, K_KEY, xe, xa)
+    pkp = enc.glwe_public_key_prepare(m, pk)
+    data = rand_msg()
+    pt = encode(data)
+    ct = enc.glwe_encrypt_pk(m, pt, pkp, BASE2K, K_KEY, xu, xe)
+    got = decode(m, ct, skp)
+    assert np.max(np.abs(got - data)) <= 2, np.max(np.abs(got - data))
+
+
+def test_lwe_keyswitch():
+    from poulpy_tpu.core.keyswitching import lwe_keyswitch, lwe_switching_key_encrypt_sk
+
+    m = get_module(N, 4)
+    src = Source(b"\x0c" * 32)
+    xe, xa = fresh_sources()
+    sk1 = jnp.asarray(src.ternary_prob((24,)))
+    sk2 = jnp.asarray(src.ternary_prob((32,)))
+    data = RNG.integers(-(2**10), 2**10, size=(1,), dtype=np.int64)
+    pt = vec_znx.encode_vec_i64(BASE2K, 17, 3, jnp.asarray(data))
+    ct = enc.lwe_encrypt_sk(None, pt, sk1, BASE2K, K_CT, xe, xa)
+    ksk = lwe_switching_key_encrypt_sk(
+        m, sk1, sk2, BASE2K, K_KEY, dnum=3, source_xe=xe, source_xa=xa
+    )
+    ct2 = lwe_keyswitch(m, ct, ksk, 32)
+    out = dec.lwe_decrypt(ct2, sk2)
+    got = np.asarray(vec_znx.decode_vec_i64(BASE2K, 17, out[..., None]))[..., 0]
+    assert abs(int(got) - int(data[0])) <= 1

@@ -1,0 +1,58 @@
+"""Sharded-execution tests on the 8-device virtual CPU mesh: the (dp, tp)
+sharded external product must match the single-device path bit-exactly."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from poulpy_tpu.core import encryption as enc
+from poulpy_tpu.core.external_product import glwe_external_product
+from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext, glwe_size
+from poulpy_tpu.core.prepared import ggsw_prepare, glwe_secret_prepare
+from poulpy_tpu.hal import vec_znx
+from poulpy_tpu.hal.module import get_module
+from poulpy_tpu.hal.source import Source
+from poulpy_tpu.parallel.mesh import make_mesh
+from poulpy_tpu.parallel.sharded import shard_batch, sharded_external_product_fn
+
+BASE2K, K_CT, K_KEY = 17, 51, 68
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("tp", [1, 2])
+def test_sharded_external_product_matches(tp):
+    m = get_module(64, 2)
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    sk = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk)
+    batch = 8
+    data = np.random.default_rng(0).integers(
+        -(2**10), 2**10, size=(batch, 64), dtype=np.int64
+    )
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(BASE2K, 34, 3, jnp.asarray(data)),
+        base2k=BASE2K, k=34,
+    )
+    ct = enc.glwe_encrypt_sk(
+        m, pt, skp, BASE2K, K_CT, xe, xa, batch_shape=(batch,)
+    )
+    ptg = np.zeros(64, dtype=np.int64)
+    ptg[1] = 1
+    ggsw = enc.ggsw_encrypt_sk(
+        m, jnp.asarray(ptg), skp, BASE2K, K_KEY, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    ggswp = ggsw_prepare(m, ggsw)
+
+    want = glwe_external_product(m, ct, ggswp).data
+
+    mesh = make_mesh(8, tp=tp)
+    fn = sharded_external_product_fn(
+        m, mesh, BASE2K, glwe_size(BASE2K, K_CT), ggswp.base2k
+    )
+    ct_sharded = shard_batch(mesh, ct.data)
+    have = fn(ct_sharded, ggswp.pmat)
+    assert np.array_equal(np.asarray(have), np.asarray(want))
