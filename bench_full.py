@@ -1,0 +1,102 @@
+"""Extended benchmark suite (the poulpy-bench analogue).
+
+Prints one JSON line per metric.  `bench.py` remains the driver's single
+headline line; this script is for the measurement ledger (BENCH_NOTES.md)
+and covers the remaining BASELINE.json metrics:
+  - gate-bootstraps/s (batched NAND, TFHE-style params)
+  - key-switch p50 latency (single ciphertext) and batched throughput
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+
+
+def bench_gate_bootstrap(batch=256, iters=5):
+    from poulpy_tpu.binfhe import gates
+    from poulpy_tpu.hal.source import Source
+
+    # TFHE-style sizing with a block-binary key (reference example uses
+    # block_size 7 at n_lwe 567, bdd_arithmetic.rs:64-106; 8·71 here keeps
+    # divisibility) — amortizes DFT round trips over each block
+    params = gates.GateParams(n_lwe=568, block_size=8)
+    keys, sk = gates.keygen(params)
+    xe, xa = Source(b"\x05" * 32), Source(b"\x06" * 32)
+    b1 = np.random.default_rng(0).integers(0, 2, batch)
+    b2 = np.random.default_rng(1).integers(0, 2, batch)
+    c1 = gates.encrypt_bit(params, b1, sk, xe, xa)
+    c2 = gates.encrypt_bit(params, b2, sk, xe, xa)
+
+    out = gates.gate_nand(keys, c1, c2)  # compile + warm
+    jax.block_until_ready(out.data)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = gates.gate_nand(keys, c1, c2)
+    jax.block_until_ready(out.data)
+    dt = time.perf_counter() - t0
+    got = gates.decrypt_bit(out, sk)
+    assert np.array_equal(got, 1 - (b1 & b2)), "NAND wrong on device!"
+    return batch * iters / dt
+
+
+def bench_keyswitch(iters=50):
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.keyswitching import glwe_keyswitch
+    from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext
+    from poulpy_tpu.core.prepared import gglwe_prepare, glwe_secret_prepare
+    from poulpy_tpu.hal import vec_znx
+    from poulpy_tpu.hal.module import get_module
+    from poulpy_tpu.hal.source import Source
+
+    n, base2k, k_ct, k_key = 2048, 17, 51, 68
+    m = get_module(n, 2)
+    src = Source(bytes(32))
+    xe, xa = src.branch()[1], src.branch()[1]
+    sk1 = enc.secret_new(m, 1, src)
+    sk2 = enc.secret_new(m, 1, src)
+    sk2p = glwe_secret_prepare(m, sk2)
+    data = np.random.default_rng(0).integers(-(2**15), 2**15, n, dtype=np.int64)
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 34, 3, jnp.asarray(data)),
+        base2k=base2k, k=34,
+    )
+    ct = enc.glwe_encrypt_sk(m, pt, glwe_secret_prepare(m, sk1), base2k, k_ct, xe, xa)
+    ksk = gglwe_prepare(m, enc.glwe_switching_key_encrypt_sk(
+        m, sk1, sk2p, base2k, k_key, dnum=3, source_xe=xe, source_xa=xa
+    ))
+
+    out = glwe_keyswitch(m, ct, ksk)
+    jax.block_until_ready(out.data)
+    lat = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = glwe_keyswitch(m, ct, ksk)
+        jax.block_until_ready(out.data)
+        lat.append(time.perf_counter() - t0)
+    return float(np.percentile(np.array(lat), 50) * 1000)
+
+
+def main():
+    gbs = bench_gate_bootstrap()
+    print(json.dumps({
+        "metric": "gate_bootstraps_per_s_chip_nand_n1024",
+        "value": round(gbs, 1), "unit": "bootstraps/s", "vs_baseline": None,
+    }))
+    p50 = bench_keyswitch()
+    print(json.dumps({
+        "metric": "keyswitch_p50_latency_n2048",
+        "value": round(p50, 3), "unit": "ms", "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,17 +28,24 @@ from poulpy_tpu.hal.module import Module
 
 def _vmp_kernel(kdim: int, mdim: int,
                 a_ref, pm_ref, p_ref, qinv_ref, o_ref):
-    # all elementwise ops run on 2D [rows, P·N] slices (full tile occupancy);
-    # the per-lane modulus pattern repeats each prime over its N lanes
-    p = p_ref[0][None, :]          # [1, P·N]
-    qinv = qinv_ref[0][None, :]
+    # vectorize over every output column at once: each k-step is one
+    # [rows, M, P·N] broadcasted Montgomery product (full-tile VPU work)
+    p = p_ref[0][None, None, :]    # [1, 1, P·N]
+    qinv = qinv_ref[0][None, None, :]
     a = a_ref[...]                 # [rows, K, P·N]
-    for m in range(mdim):
-        acc = None
-        for k in range(kdim):
-            term = mont_mul_i32(a[:, k, :], pm_ref[k, m][None, :], p, qinv)
-            acc = term if acc is None else _add_mod(acc, term, p)
-        o_ref[:, m, :] = acc
+    pm = pm_ref[...]               # [K, M, P·N]
+    rows, _, pn = a.shape
+    mdim_ = pm.shape[1]
+
+    def slab(k):
+        a_k = a[:, k, :].reshape(rows, 1, pn)
+        pm_k = pm[k].reshape(1, mdim_, pn)
+        return mont_mul_i32(a_k, pm_k, p, qinv)
+
+    acc = slab(0)
+    for k in range(1, kdim):
+        acc = _add_mod(acc, slab(k), p)
+    o_ref[...] = acc
 
 
 @functools.lru_cache(maxsize=None)

@@ -138,6 +138,8 @@ def bdd_circuit(op: str, width: int) -> list[BDD]:
             out.append(bld.freeze(root))
     elif op in ("slt", "sltu"):
         out = [_cmp_bdd(width, op == "slt")]
+    elif op in ("sll", "srl", "sra"):
+        out = [_shift_bdd(width, i, op) for i in range(width)]
     else:
         raise ValueError(op)
     _CIRCUIT_CACHE[key] = out
@@ -337,3 +339,71 @@ def eval_bdd_plain(bdd: BDD, a: int, b: int) -> int:
         return value(hi if bit else lo)
 
     return value(bdd.root)
+
+
+def _shift_bdd(width: int, out_bit: int, kind: str) -> BDD:
+    """Shift circuits (the reference's Sll/Srl/Sra codegen tables,
+    bdd_arithmetic/circuits/u32/): operand a = data, operand b = shift
+    amount (log2(width) bits used).  Shannon expansion over the amount bits
+    selects which data bit (or 0 / sign bit) reaches `out_bit`."""
+    logw = (width - 1).bit_length()
+    b = _Builder()
+
+    def src_bit(shift: int) -> int | None:
+        if kind == "sll":
+            j = out_bit - shift
+            return j if j >= 0 else None
+        if kind == "srl":
+            j = out_bit + shift
+            return j if j < width else None
+        if kind == "sra":
+            j = out_bit + shift
+            return min(j, width - 1)
+        raise ValueError(kind)
+
+    def build(bit_idx: int, shift: int) -> int:
+        if bit_idx < 0:
+            j = src_bit(shift)
+            if j is None:
+                return FALSE
+            # node testing data bit j (variable 2j)
+            return b.mk(2 * j, FALSE, TRUE)
+        lo = build(bit_idx - 1, shift)
+        hi = build(bit_idx - 1, shift | (1 << bit_idx))
+        return b.mk(2 * bit_idx + 1, lo, hi)  # amount bit = operand b
+
+    return b.freeze(build(logw - 1, 0))
+
+
+def bdd_shift_circuit(kind: str, width: int) -> list[BDD]:
+    key = (kind, width)
+    if key not in _CIRCUIT_CACHE:
+        _CIRCUIT_CACHE[key] = [
+            _shift_bdd(width, i, kind) for i in range(width)
+        ]
+    return _CIRCUIT_CACHE[key]
+
+
+def blind_select(
+    module: Module,
+    selector_bits: "FheUintPrepared",
+    options: list[GLWECiphertext],
+) -> GLWECiphertext:
+    """Blind retrieval of options[j] for encrypted index j
+    (bdd_arithmetic/blind_retrieval.rs, blind_selection.rs): a CMux tree over
+    the selector's GGSW bits."""
+    from poulpy_tpu.core.external_product import glwe_cmux
+
+    level = list(options)
+    for bit in range(len(selector_bits.bits)):
+        if len(level) == 1:
+            break
+        sel = selector_bits.bits[bit]
+        nxt = []
+        for i in range(0, len(level), 2):
+            if i + 1 < len(level):
+                nxt.append(glwe_cmux(module, sel, level[i + 1], level[i]))
+            else:
+                nxt.append(level[i])
+        level = nxt
+    return level[0]

@@ -26,6 +26,7 @@ from poulpy_tpu.core.prepared import GLWESecretPrepared
 from poulpy_tpu.binfhe.lut import LookupTable
 from poulpy_tpu.hal import dft
 from poulpy_tpu.hal.module import Module
+from poulpy_tpu.hal.ntt import mont_mul
 from poulpy_tpu.hal.normalization import vec_znx_normalize
 from poulpy_tpu.hal.vec_znx import vec_znx_rotate
 
@@ -162,3 +163,95 @@ def blind_rotation_execute(
     a_scan = jnp.moveaxis(a, -1, 0)                    # [n_lwe, ...batch]
     acc, _ = jax.lax.scan(step, acc0, (a_scan, brk.pmats))
     return vec_znx_normalize(base2k, acc)
+
+
+@functools.lru_cache(maxsize=None)
+def _xpow_table(n: int, primes: tuple):
+    """Montgomery NTT of X^j for every j in [0, 2N): `[2N, P, N]` int32.
+
+    The x_pow_a cache of the block-binary path (BlindRotationKeyPrepared's
+    optional SvpPPol cache, blind_rotation/layouts/key.rs + utils.rs:6).
+    Negacyclic wrap: X^{N+j} = −X^j.
+    """
+    from poulpy_tpu.hal.module import get_module
+
+    module = get_module(n, len(primes))
+    basis = jnp.eye(n, dtype=jnp.int64)
+    pos = dft.svp_prepare(module, basis)       # [N, P, N]
+    neg = dft.svp_prepare(module, -basis)
+    return jnp.concatenate([pos, neg], axis=0)  # [2N, P, N]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("module", "block_size", "res_k")
+)
+def blind_rotation_execute_block(
+    module: Module,
+    lwe: LWECiphertext,
+    lut: LookupTable,
+    brk: BlindRotationKeyPrepared,
+    block_size: int,
+    res_k: int | None = None,
+):
+    """Block-binary CGGI path (execute_block_binary, algorithm.rs:275-368).
+
+    For block-binary LWE secrets (≤ one set coefficient per block) the
+    accumulator's forward DFT and the closing iDFT+normalize amortize over a
+    whole block; within the block each coefficient contributes
+    (X^{a_i} − 1)·(DFT(acc) ⊡ BRK_i) accumulated in the NTT domain, with
+    X^{a_i} applied as a gather from the precomputed x-power table.
+    """
+    assert lut.extension_factor == 1
+    n = module.n
+    base2k = brk.base2k
+    size = lut.size
+    rank = brk.rank
+    n_lwe = brk.n_lwe
+    assert n_lwe % block_size == 0
+    nblocks = n_lwe // block_size
+
+    lwe_2n = mod_switch_2n(2 * n, lwe, lut.rot_dir)
+    b = lwe_2n[..., 0]
+    a = lwe_2n[..., 1:]
+    batch = b.shape
+
+    body = vec_znx_rotate(b[..., None] if batch else b, lut.data[0])
+    if batch:
+        acc0 = jnp.concatenate(
+            [body[..., None, :, :],
+             jnp.zeros(batch + (rank, size, n), jnp.int64)], axis=-3
+        )
+    else:
+        acc0 = jnp.concatenate(
+            [body[None], jnp.zeros((rank, size, n), jnp.int64)], axis=0
+        )
+
+    xpow = _xpow_table(n, module.basis.primes)
+    t = module.tables
+    psize = brk.pmats.shape[-3]
+
+    a_blocks = jnp.moveaxis(a, -1, 0).reshape((nblocks, block_size) + batch)
+    pm_blocks = brk.pmats.reshape((nblocks, block_size) + brk.pmats.shape[1:])
+
+    def block_step(acc, inputs):
+        a_blk, pm_blk = inputs
+        acc_dft = dft.dft_apply(module, acc)
+        add_dft = None
+        for i in range(block_size):
+            vmp_res = dft.vmp_apply(module, acc_dft, pm_blk[i])
+            apos = a_blk[i] & (2 * n - 1)
+            xp = jnp.take(xpow, apos, axis=0)       # [..., P, N]
+            rot = mont_mul(
+                vmp_res,
+                xp[..., None, None, :, :] if batch else xp[None, None],
+                t.p[:, None], t.qinv[:, None],
+            )
+            term = dft.dft_sub(module, rot, vmp_res)
+            add_dft = term if add_dft is None else dft.dft_add(module, add_dft, term)
+        big = dft.idft_apply(module, add_dft)
+        big = big + dft._align_limbs(acc, big, big.shape[-2], limb_axis=-2)[0]
+        acc = dft.big_normalize(module, size, base2k, big, base2k)
+        return acc, None
+
+    acc, _ = jax.lax.scan(block_step, acc0, (a_blocks, pm_blocks))
+    return acc

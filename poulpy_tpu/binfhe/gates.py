@@ -46,6 +46,7 @@ class GateParams:
     k_ksk: int = 51       # GLWE→LWE switching key precision
     dnum_ksk: int = 2
     nprimes: int = 2
+    block_size: int = 1   # > 1 selects the block-binary CGGI path
 
 
 @dataclass
@@ -64,7 +65,10 @@ def keygen(
     module = Module(params.n_glwe, params.nprimes)
     src = Source(seed)
     xe, xa = src.branch()[1], src.branch()[1]
-    sk_lwe = src.binary_prob((params.n_lwe,))
+    if params.block_size > 1:
+        sk_lwe = src.binary_block(params.n_lwe, params.block_size)
+    else:
+        sk_lwe = src.binary_prob((params.n_lwe,))
     sk_glwe = enc.secret_new(module, 1, src)
     sk_glwe_prep = glwe_secret_prepare(module, sk_glwe)
 
@@ -129,7 +133,14 @@ def _bootstrap(keys: BootstrapKeys, lin_data) -> LWECiphertext:
         base2k=params.base2k,
         k=params.k_ct,
     )
-    acc = blind_rotation_execute(keys.module, lin, keys.lut, keys.brk)
+    if params.block_size > 1:
+        from poulpy_tpu.binfhe.blind_rotation import blind_rotation_execute_block
+
+        acc = blind_rotation_execute_block(
+            keys.module, lin, keys.lut, keys.brk, params.block_size
+        )
+    else:
+        acc = blind_rotation_execute(keys.module, lin, keys.lut, keys.brk)
     glwe = GLWECiphertext(
         data=acc, base2k=params.base2k, k=keys.lut.size * params.base2k
     )

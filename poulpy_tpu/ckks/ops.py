@@ -28,6 +28,7 @@ from poulpy_tpu.core.operations import (
     glwe_add,
     glwe_add_plain,
     glwe_lsh,
+    glwe_mul_scalar,
     glwe_negate,
     glwe_sub,
     glwe_sub_plain,
@@ -272,3 +273,37 @@ def mul_sub(module, a, b, c, tensor_key):
 def dot_product(module, xs, ys, tensor_key):
     """Σ x_i·y_i (composite.rs dot_product)."""
     return add_many([mul(module, x, y, tensor_key) for x, y in zip(xs, ys)])
+
+
+def mul_const(a: CKKSCiphertext, c: float, log_delta_c: int) -> CKKSCiphertext:
+    """ct × scalar constant (CKKSPlaintextCstRnx path,
+    poulpy-ckks/src/layouts/plaintext/cst.rs + default/mul.rs const-mul):
+    multiply limbs by round(c·2^{log_delta_c}), divide the scale back out of
+    the budget."""
+    ci = int(round(c * (1 << log_delta_c)))
+    budget = _checked_sub("mul_const", a.log_budget, log_delta_c)
+    glwe = glwe_mul_scalar(ci, a.glwe)
+    # value now scaled by c·2^{log_delta_c}; shift the constant's scale back
+    # out so delta stays fixed (budget paid for it)
+    return CKKSCiphertext(
+        glwe=glwe_lsh(-log_delta_c, glwe),
+        meta=CKKSMeta(log_delta=a.meta.log_delta, log_budget=budget),
+    )
+
+
+def add_const(a: CKKSCiphertext, c: float) -> CKKSCiphertext:
+    """ct + scalar constant (CstRnx add): adds c·Δ to the body's constant
+    slot-broadcast (all slots shift by c — the encoder maps a constant to the
+    degree-0 coefficient)."""
+    ci = int(round(c * (1 << a.meta.effective_k)))
+    size = a.glwe.size
+    base2k = a.glwe.base2k
+    import jax.numpy as jnp
+
+    from poulpy_tpu.hal.vec_znx import encode_vec_i64
+
+    n = a.glwe.n
+    coeffs = jnp.zeros((n,), jnp.int64).at[0].set(1)
+    pt = encode_vec_i64(base2k, a.meta.effective_k, size, coeffs * ci)
+    data = a.glwe.data.at[..., 0, :, :].add(pt)
+    return a.replace(glwe=a.glwe.replace(data=data))

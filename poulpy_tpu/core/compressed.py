@@ -70,3 +70,52 @@ def glwe_decompress(module: Module, ct: GLWECompressed) -> GLWECiphertext:
     )
     data = jnp.concatenate([ct.body[..., None, :, :], mask], axis=-3)
     return GLWECiphertext(data=data, base2k=ct.base2k, k=ct.k)
+
+
+@struct.dataclass
+class GGLWECompressed:
+    """Gadget-GLWE bodies + one mask seed per row/col
+    (layouts/compressed/gglwe.rs:22)."""
+
+    body: jnp.ndarray   # [dnum, rank_in, size, N]
+    seed: bytes = _static()
+    base2k: int = _static()
+    k: int = _static()
+    rank_out: int = _static(default=1)
+    dsize: int = _static(default=1)
+
+
+def gglwe_encrypt_sk_compressed(
+    module: Module, pt, sk: GLWESecretPrepared, base2k: int, k: int,
+    dnum: int, source_xe: Source, source_xa: Source, dsize: int = 1, **kw,
+) -> GGLWECompressed:
+    """Compressed GGLWE: encrypt normally with a branched mask stream, store
+    only the body column + seed (compressed/gglwe.rs)."""
+    from poulpy_tpu.core.encryption import gglwe_encrypt_sk
+
+    seed, child = source_xa.branch()
+    ct = gglwe_encrypt_sk(
+        module, pt, sk, base2k, k, dnum, source_xe, child, dsize=dsize, **kw
+    )
+    return GGLWECompressed(
+        body=ct.data[..., 0, :, :], seed=seed, base2k=base2k, k=k,
+        rank_out=sk.rank, dsize=dsize,
+    )
+
+
+def gglwe_decompress(module: Module, ct: GGLWECompressed):
+    """Regenerate every mask column from the seed, replaying the keygen's
+    sampling order (gglwe_encrypt_sk batches rows per input column)."""
+    from poulpy_tpu.core.layouts import GGLWECiphertext
+
+    source = Source(ct.seed)
+    dnum, rank_in, size, n = ct.body.shape
+    cols = []
+    for i in range(rank_in):
+        mask = jnp.asarray(
+            source.uniform_digits(ct.base2k, (dnum, ct.rank_out, size, n))
+        )
+        cols.append(mask)
+    mask = jnp.stack(cols, axis=1)  # [dnum, rank_in, rank_out, size, N]
+    data = jnp.concatenate([ct.body[..., None, :, :], mask], axis=-3)
+    return GGLWECiphertext(data=data, base2k=ct.base2k, k=ct.k, dsize=ct.dsize)

@@ -55,5 +55,5 @@ def lwe_decrypt(
     pt_base2k = ct.base2k if pt_base2k is None else pt_base2k
     body = ct.data[..., :, 0]
     a = ct.data[..., :, 1:]
-    acc = body + jnp.einsum("...sj,j->...s", a, jnp.asarray(sk_lwe))
+    acc = body + (a * jnp.asarray(sk_lwe)).sum(axis=-1)
     return vec_znx_normalize(ct.base2k, acc[..., None])[..., 0]

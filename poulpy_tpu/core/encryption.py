@@ -364,7 +364,8 @@ def lwe_encrypt_sk(
     batch = pt.shape[:-2]
     a = jnp.asarray(source_xa.uniform_digits(base2k, batch + (size, n_lwe)))
     # body = -Σ a_j s_j + m + e, carried per limb then normalized
-    body = -jnp.einsum("...sj,j->...s", a, jnp.asarray(sk_lwe))[..., None]
+    # elementwise mul + reduce (TPU has no s64 dot_general)
+    body = -(a * jnp.asarray(sk_lwe)).sum(axis=-1)[..., None]
     body = vec_znx_sub(body, -pt[..., :, :], res_size=size)
     noise = NoiseInfos(k=k, sigma=sigma, bound=bound)
     limb, scale = noise.target_limb_and_scale(base2k)

@@ -146,3 +146,69 @@ def decode_vec_float(base2k: int, a) -> np.ndarray:
         [2.0 ** (-(j + 1) * base2k) for j in range(size)], dtype=np.float64
     )
     return np.tensordot(np.moveaxis(a, -2, -1), scale, axes=([-1], [0]))
+
+
+def vec_znx_split_ring(n_out: int, a):
+    """Split a degree-N vector into N/n_out degree-n_out vectors
+    (vec_znx_split_ring, poulpy-cpu-ref/src/reference/vec_znx/split_ring.rs):
+    part i = switch_ring(a · X^{-i}).  Returns [parts, ..., size, n_out]."""
+    n_in = a.shape[-1]
+    assert n_out < n_in and n_in % n_out == 0
+    parts = []
+    for i in range(n_in // n_out):
+        src = a if i == 0 else znx.znx_rotate(-i, a)
+        parts.append(znx.znx_switch_ring(n_out, src))
+    return jnp.stack(parts, axis=0)
+
+
+def vec_znx_merge_rings(parts):
+    """Inverse of split: merge [k, ..., size, n_in] into degree k·n_in
+    (vec_znx_merge_rings, reference/vec_znx/merge_rings.rs): embed each part,
+    rotate by X^{-1} between parts, final rotate by X^{k}."""
+    k, n_in = parts.shape[0], parts.shape[-1]
+    n_out = k * n_in
+    res = jnp.zeros(parts.shape[1:-1] + (n_out,), parts.dtype)
+    for i in range(k):
+        res = res + znx.znx_switch_ring(n_out, parts[i])
+        res = znx.znx_rotate(-1, res)
+    return znx.znx_rotate(k, res)
+
+
+def decode_vec_i128(base2k: int, k: int, a) -> list:
+    """Arbitrary-precision decode (encoding.rs decode_vec_i128): host-side
+    Python-int reconstruction for k beyond 63 bits."""
+    size = -(-k // base2k)
+    arr = np.asarray(a)
+    n = arr.shape[-1]
+    rem = base2k - (k % base2k) if k % base2k != 0 else base2k
+    out = []
+    for c in range(n):
+        v = int(arr[..., 0, c])
+        for i in range(1, size):
+            if i == size - 1 and rem != base2k:
+                x = int(arr[..., i, c])
+                half = 1 << (rem - 1)
+                q = (x + half) >> rem if x >= 0 else -((-x + half) >> rem)
+                v = (v << (base2k - rem)) + q
+            else:
+                v = (v << base2k) + int(arr[..., i, c])
+        out.append(v)
+    return out
+
+
+def encode_vec_i128(base2k: int, k: int, size: int, data: list):
+    """Encode arbitrary-precision Python ints (encoding.rs encode_vec_i128):
+    host-side digit decomposition, then the standard normalize."""
+    n = len(data)
+    enc_size = -(-k // base2k)
+    digits = np.zeros((size, n), dtype=np.int64)
+    half = 1 << (base2k - 1)
+    for c, v0 in enumerate(data):
+        v = int(v0)
+        for j in range(enc_size - 1, -1, -1):
+            d = ((v + half) % (1 << base2k)) - half
+            digits[j, c] = d
+            v = (v - d) >> base2k
+    k_rem = (base2k - (k % base2k)) % base2k
+    out = vec_znx_normalize(base2k, jnp.asarray(digits), lsh=k_rem)
+    return out

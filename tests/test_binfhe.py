@@ -231,3 +231,34 @@ def test_fheuint_bdd_add(br_ctx):
     out = bddm.fheuint_op(m, "add", pa, pb, base2k, 51)
     got = bddm.fheuint_decrypt(m, bddm.FheUint(glwe=out, width=width), skp)
     assert got == (va + vb) % 16, got
+
+
+def test_blind_rotation_block_binary():
+    """Block-binary path (execute_block_binary) vs expected LUT values."""
+    from poulpy_tpu.binfhe.blind_rotation import blind_rotation_execute_block
+
+    m = get_module(64, 4)
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    n_lwe, block = 16, 4
+    sk_lwe = src.binary_block(n_lwe, block)
+    sk_glwe = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk_glwe)
+    brk = blind_rotation_key_encrypt_sk(
+        m, jnp.asarray(sk_lwe), skp, 17, 68, 4, xe, xa
+    )
+    base2k = 17
+    f = np.arange(32, dtype=np.int64)
+    lut = lookup_table_new(m.n, base2k, 34, f, f_k=10)
+    msgs = np.array([0, 5, 21, 31], dtype=np.int64)
+    pt = np.zeros((4, 2, 1), dtype=np.int64)
+    pt[:, 0, 0] = msgs << (base2k - 6)
+    lwe = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, 34, xe, xa
+    )
+    acc = blind_rotation_execute_block(m, lwe, lut, brk, block)
+    glwe = GLWECiphertext(data=acc, base2k=base2k, k=lut.size * base2k)
+    vals = np.asarray(
+        vec_znx.decode_vec_i64(base2k, 10, dec.glwe_decrypt(m, glwe, skp).data)
+    )[:, 0]
+    assert np.max(np.abs(vals - msgs)) <= 1, (msgs, vals)
