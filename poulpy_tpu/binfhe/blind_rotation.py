@@ -255,3 +255,99 @@ def blind_rotation_execute_block(
 
     acc, _ = jax.lax.scan(block_step, acc0, (a_blocks, pm_blocks))
     return acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("module", "block_size", "res_k")
+)
+def blind_rotation_execute_extended(
+    module: Module,
+    lwe: LWECiphertext,
+    lut: LookupTable,
+    brk: BlindRotationKeyPrepared,
+    block_size: int = 1,
+    res_k: int | None = None,
+):
+    """Extended block-binary CGGI (execute_block_binary_extended,
+    algorithm.rs:121-273): the LUT spans `extension_factor` degree-N
+    polynomials (effective domain N·ext), held as a stacked accumulator axis.
+
+    TPU-first uniform rule replacing the reference's data-dependent
+    branches: for a rotation amount with hi/lo split (q = hi·ext + lo in
+    Z_{2N·ext}), output part i sources part (i − lo) mod ext multiplied by
+    X^{hi + (i < lo)} — realized as a batched gather over the part axis plus
+    an x-power-table gather, identical for every a_i.
+    """
+    ext = lut.extension_factor
+    n = module.n
+    base2k = brk.base2k
+    size = lut.size
+    rank = brk.rank
+    n_lwe = brk.n_lwe
+    assert n_lwe % block_size == 0
+    nblocks = n_lwe // block_size
+    two_n_ext = 2 * n * ext
+
+    lwe_2n = mod_switch_2n(two_n_ext, lwe, lut.rot_dir)
+    b_pos = lwe_2n[..., 0] & (two_n_ext - 1)
+    a = lwe_2n[..., 1:] & (two_n_ext - 1)
+    batch = b_pos.shape
+
+    idx_i = jnp.arange(ext)
+
+    def part_mix(parts, pos, rotate_fn):
+        """parts [..., ext, ...], pos [...] in [0, 2N·ext): output part i =
+        rotate(hi + (i < lo))(parts[(i − lo) mod ext])."""
+        hi = pos // ext
+        lo = pos % ext
+        src = (idx_i - lo[..., None]) % ext          # [..., ext]
+        gathered = jnp.take_along_axis(
+            parts,
+            src.reshape(src.shape + (1,) * (parts.ndim - src.ndim)),
+            axis=len(batch),
+        )
+        expo = hi[..., None] + (idx_i < lo[..., None])
+        return rotate_fn(gathered, expo)
+
+    # --- init: acc[i] = X^{b_hi + (i<b_lo)} · lut[(i − b_lo) mod ext] ------
+    lut_parts = jnp.broadcast_to(lut.data, batch + (ext, size, n))
+
+    def rot_coeff(g, expo):
+        # expo [..., ext] broadcasts over the limb axis of g [..., ext, size, N]
+        return vec_znx_rotate(expo[..., None], g)
+
+    body = part_mix(lut_parts, b_pos, rot_coeff)      # [..., ext, size, N]
+    acc = jnp.concatenate(
+        [body[..., :, None, :, :],
+         jnp.zeros(batch + (ext, rank, size, n), jnp.int64)],
+        axis=-3,
+    )                                                  # [..., ext, cols, size, N]
+
+    xpow = _xpow_table(n, module.basis.primes)
+    t = module.tables
+    a_blocks = jnp.moveaxis(a, -1, 0).reshape((nblocks, block_size) + batch)
+    pm_blocks = brk.pmats.reshape((nblocks, block_size) + brk.pmats.shape[1:])
+
+    def rot_dft(g, expo):
+        """NTT-domain rotation: pointwise × NTT(X^{expo mod 2N})."""
+        xp = jnp.take(xpow, expo & (2 * n - 1), axis=0)   # [..., ext, P, N]
+        return mont_mul(
+            g, xp[..., :, None, None, :, :], t.p[:, None], t.qinv[:, None]
+        )
+
+    def block_step(acc, inputs):
+        a_blk, pm_blk = inputs
+        acc_dft = dft.dft_apply(module, acc)   # [..., ext, cols, size, P, N]
+        add_dft = None
+        for i in range(block_size):
+            vmp_res = dft.vmp_apply(module, acc_dft, pm_blk[i])
+            term = dft.dft_sub(
+                module, part_mix(vmp_res, a_blk[i], rot_dft), vmp_res
+            )
+            add_dft = term if add_dft is None else dft.dft_add(module, add_dft, term)
+        big = dft.idft_apply(module, add_dft)
+        big = big + dft._align_limbs(acc, big, big.shape[-2], limb_axis=-2)[0]
+        return dft.big_normalize(module, size, base2k, big, base2k), None
+
+    acc, _ = jax.lax.scan(block_step, acc, (a_blocks, pm_blocks))
+    return acc[..., 0, :, :, :]

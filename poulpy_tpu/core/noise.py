@@ -63,3 +63,34 @@ def var_sigma(sigma: float, k: int) -> float:
 
 
 XS_VAR = {"ternary_prob": 0.5, "binary_prob": 0.25, "binary_block": 0.25}
+
+
+def var_noise_keyswitch(
+    n: float, base2k: int, k_ct: int, k_ksk: int, dnum: int, dsize: int,
+    rank_in: int, sigma_key: float = 3.2, var_xs: float = XS_VAR["ternary_prob"],
+) -> float:
+    """Output noise variance of a GLWE keyswitch (the var_noise_gglwe_product
+    instantiation used by test_suite/keyswitch, noise/mod.rs:48-75 v2 form)."""
+    base = 2.0 ** (dsize * base2k)
+    var_base = base * base / 12.0
+    scale = 2.0 ** k_ksk
+    var_gct = sigma_key * sigma_key
+    noise = dnum * n * var_base * var_gct
+    noise *= rank_in
+    noise /= scale * scale
+    return noise
+
+
+def var_noise_external_product(
+    n: float, base2k: int, k_ct: int, k_ggsw: int, dnum: int, dsize: int,
+    rank: int, sigma_key: float = 3.2, var_xs: float = XS_VAR["ternary_prob"],
+) -> float:
+    """Output noise variance of a GLWE×GGSW external product
+    (noise/ggsw.rs): rank+1 input columns pass through the gadget."""
+    return var_noise_keyswitch(
+        n, base2k, k_ct, k_ggsw, dnum, dsize, rank + 1, sigma_key, var_xs
+    )
+
+
+def log2_std(v: float) -> float:
+    return 0.5 * math.log2(max(v, 1e-300))

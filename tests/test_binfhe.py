@@ -262,3 +262,35 @@ def test_blind_rotation_block_binary():
         vec_znx.decode_vec_i64(base2k, 10, dec.glwe_decrypt(m, glwe, skp).data)
     )[:, 0]
     assert np.max(np.abs(vals - msgs)) <= 1, (msgs, vals)
+
+
+def test_blind_rotation_extended():
+    """Extension-factor path: N=32 ring with ext=2 gives a 64-point domain
+    (execute_block_binary_extended analogue)."""
+    from poulpy_tpu.binfhe.blind_rotation import blind_rotation_execute_extended
+
+    m = get_module(32, 4)
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    n_lwe, block = 16, 4
+    sk_lwe = src.binary_block(n_lwe, block)
+    sk_glwe = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk_glwe)
+    brk = blind_rotation_key_encrypt_sk(
+        m, jnp.asarray(sk_lwe), skp, 17, 68, 4, xe, xa
+    )
+    base2k = 17
+    f = np.arange(32, dtype=np.int64)
+    lut = lookup_table_new(m.n, base2k, 34, f, f_k=10, extension_factor=2)
+    msgs = np.array([0, 3, 17, 30], dtype=np.int64)
+    pt = np.zeros((4, 2, 1), dtype=np.int64)
+    pt[:, 0, 0] = msgs << (base2k - 6)
+    lwe = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, 34, xe, xa
+    )
+    acc = blind_rotation_execute_extended(m, lwe, lut, brk, block)
+    glwe = GLWECiphertext(data=acc, base2k=base2k, k=lut.size * base2k)
+    vals = np.asarray(
+        vec_znx.decode_vec_i64(base2k, 10, dec.glwe_decrypt(m, glwe, skp).data)
+    )[:, 0]
+    assert np.max(np.abs(vals - msgs)) <= 1, (msgs, vals)
