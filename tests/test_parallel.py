@@ -56,3 +56,48 @@ def test_sharded_external_product_matches(tp):
     ct_sharded = shard_batch(mesh, ct.data)
     have = fn(ct_sharded, ggswp.pmat)
     assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_ntt_matches_single_device():
+    """N-sharded NTT with all_to_all stage exchange == single-device NTT."""
+    from jax.sharding import PartitionSpec as P
+
+    from poulpy_tpu.hal.ntt import ntt_forward, ntt_inverse, to_residues
+    from poulpy_tpu.parallel.sharded_ntt import (
+        sharded_ntt_forward,
+        sharded_ntt_inverse,
+    )
+
+    n, d = 256, 8
+    m = get_module(n, 2)
+    t = m.tables
+    primes = m.basis.primes
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-(2**40), 2**40, size=(3, n), dtype=np.int64))
+    r = to_residues(t, x).astype(jnp.int64)   # [3, P, N]
+
+    mesh = jax.make_mesh((d,), ("sp",))
+    fwd = jax.jit(
+        jax.shard_map(
+            lambda xl: sharded_ntt_forward(primes, n, d, "sp", xl),
+            mesh=mesh,
+            in_specs=P(None, None, "sp"),
+            out_specs=P(None, None, "sp"),
+            check_vma=False,
+        )
+    )
+    inv = jax.jit(
+        jax.shard_map(
+            lambda xl: sharded_ntt_inverse(primes, n, d, "sp", xl),
+            mesh=mesh,
+            in_specs=P(None, None, "sp"),
+            out_specs=P(None, None, "sp"),
+            check_vma=False,
+        )
+    )
+    have_f = fwd(r)
+    want_f = ntt_forward(t, r)
+    assert np.array_equal(np.asarray(have_f), np.asarray(want_f))
+    back = inv(have_f)
+    assert np.array_equal(np.asarray(back), np.asarray(r))
