@@ -56,6 +56,55 @@ class BlindRotationKeyPrepared:
         return self.pmats.shape[-4] - 1
 
 
+@struct.dataclass
+class BlindRotationKeyCompressed:
+    """Seeded BRK: one GGSWCompressed stacked over the n_lwe coefficients
+    (blind_rotation/layouts/key_compressed.rs + encryption/key_compressed.rs);
+    (rank+1)× smaller for transport, decompress + prepare on the chip."""
+
+    ggsw: object  # core.compressed.GGSWCompressed with batch (n_lwe,)
+    dist: str = _static(default="binary_prob")
+
+
+def blind_rotation_key_encrypt_sk_compressed(
+    module: Module,
+    sk_lwe,
+    sk_glwe: GLWESecretPrepared,
+    base2k: int,
+    k: int,
+    dnum: int,
+    source_xe,
+    source_xa,
+    dsize: int = 1,
+    **kw,
+) -> BlindRotationKeyCompressed:
+    from poulpy_tpu.core.compressed import ggsw_encrypt_sk_compressed
+
+    n_lwe = sk_lwe.shape[-1]
+    pt = jnp.zeros((n_lwe, module.n), jnp.int64).at[:, 0].set(
+        jnp.asarray(sk_lwe)
+    )
+    ggsw = ggsw_encrypt_sk_compressed(
+        module, pt, sk_glwe, base2k, k, dnum, source_xe, source_xa,
+        dsize=dsize, **kw,
+    )
+    return BlindRotationKeyCompressed(ggsw=ggsw)
+
+
+def blind_rotation_key_decompress(
+    module: Module, key: BlindRotationKeyCompressed
+) -> BlindRotationKeyPrepared:
+    """Regenerate the mask columns and move to the prepared (NTT) domain."""
+    from poulpy_tpu.core.compressed import ggsw_decompress
+
+    ggsw = ggsw_decompress(module, key.ggsw)
+    pmats = dft.vmp_prepare(module, ggsw.data)
+    return BlindRotationKeyPrepared(
+        pmats=pmats, base2k=ggsw.base2k, k=ggsw.k, dsize=ggsw.dsize,
+        dist=key.dist,
+    )
+
+
 def blind_rotation_key_encrypt_sk(
     module: Module,
     sk_lwe,                  # [n_lwe] binary secret

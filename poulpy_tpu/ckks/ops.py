@@ -40,12 +40,54 @@ from poulpy_tpu.hal.module import Module
 
 
 class CKKSError(ValueError):
-    """Composition errors (budget underflow etc., poulpy-ckks/src/error.rs)."""
+    """Base class for composition errors (poulpy-ckks/src/error.rs
+    CKKSCompositionError).  Subclasses mirror the reference's enum variants
+    so callers can match on failure kind."""
+
+
+class InsufficientHomomorphicCapacity(CKKSError):
+    """An operation requires more log_budget than remains (error.rs:20-24)."""
+
+    def __init__(self, op: str, available_log_budget: int, required_bits: int):
+        self.op = op
+        self.available_log_budget = available_log_budget
+        self.required_bits = required_bits
+        super().__init__(
+            f"{op}: insufficient log_budget "
+            f"{available_log_budget} < {required_bits}"
+        )
+
+
+class PlaintextBase2KMismatch(CKKSError):
+    """Operands use different limb radices (error.rs:26-30)."""
+
+    def __init__(self, op: str, ct_base2k: int, pt_base2k: int):
+        self.op = op
+        super().__init__(
+            f"{op}: base2k mismatch ct={ct_base2k} vs {pt_base2k}"
+        )
+
+
+class PlaintextAlignmentImpossible(CKKSError):
+    """Metadata cannot be aligned into the destination (error.rs:33-38)."""
+
+    def __init__(self, op: str, detail: str):
+        self.op = op
+        super().__init__(f"{op}: cannot align operands ({detail})")
+
+
+class MissingAutomorphismKey(CKKSError):
+    """A rotation/conjugation key is absent from the key map (error.rs:31)."""
+
+    def __init__(self, op: str, rotation: int):
+        self.op = op
+        self.rotation = rotation
+        super().__init__(f"{op}: no automorphism key for rotation {rotation}")
 
 
 def _checked_sub(op: str, budget: int, bits: int) -> int:
     if budget < bits:
-        raise CKKSError(f"{op}: insufficient log_budget {budget} < {bits}")
+        raise InsufficientHomomorphicCapacity(op, budget, bits)
     return budget - bits
 
 
@@ -90,7 +132,7 @@ def _aligned(a: CKKSCiphertext, b: CKKSCiphertext, op: str):
     """Equalize budgets by shifting the larger-budget operand up
     (ckks_align, default/rescale.rs:73+)."""
     if a.meta.log_delta != b.meta.log_delta:
-        raise CKKSError(f"{op}: log_delta mismatch")
+        raise PlaintextAlignmentImpossible(op, "log_delta mismatch")
     if a.log_budget == b.log_budget:
         return a, b
     if a.log_budget > b.log_budget:
@@ -116,13 +158,13 @@ def negate(a: CKKSCiphertext) -> CKKSCiphertext:
 
 def add_plain(a: CKKSCiphertext, pt: CKKSPlaintext) -> CKKSCiphertext:
     if pt.meta.effective_k != a.meta.effective_k or pt.meta.log_delta != a.meta.log_delta:
-        raise CKKSError("add_plain: meta mismatch")
+        raise PlaintextAlignmentImpossible("add_plain", "meta mismatch")
     return CKKSCiphertext(glwe=glwe_add_plain(a.glwe, pt.pt), meta=a.meta)
 
 
 def sub_plain(a: CKKSCiphertext, pt: CKKSPlaintext) -> CKKSCiphertext:
     if pt.meta.effective_k != a.meta.effective_k or pt.meta.log_delta != a.meta.log_delta:
-        raise CKKSError("sub_plain: meta mismatch")
+        raise PlaintextAlignmentImpossible("sub_plain", "meta mismatch")
     return CKKSCiphertext(glwe=glwe_sub_plain(a.glwe, pt.pt), meta=a.meta)
 
 
@@ -151,7 +193,7 @@ def mul(
     """
     ga, gb = a.glwe, b.glwe
     if ga.base2k != gb.base2k:
-        raise CKKSError("mul: base2k mismatch")
+        raise PlaintextBase2KMismatch("mul", ga.base2k, gb.base2k)
     base2k = ga.base2k
     res_k = max(ga.k, gb.k) if res_k is None else res_k
 
@@ -216,7 +258,7 @@ def mul_plain(
     delta' = d_a  — the plaintext's scale is divided out)."""
     ga = a.glwe
     if ga.base2k != pt.pt.base2k:
-        raise CKKSError("mul_plain: base2k mismatch")
+        raise PlaintextBase2KMismatch("mul_plain", ga.base2k, pt.pt.base2k)
     base2k = ga.base2k
     res_budget = _checked_sub("mul_plain", a.log_budget, pt.meta.log_delta)
     res_delta = a.meta.log_delta
@@ -244,6 +286,17 @@ def rotate(
     (default/rotate.rs); the key's galois element determines r."""
     glwe = glwe_automorphism(module, a.glwe, auto_key, a.glwe.base2k, a.glwe.k)
     return CKKSCiphertext(glwe=glwe, meta=a.meta)
+
+
+def rotate_by(
+    module: Module, a: CKKSCiphertext, key_map: dict, r: int
+) -> CKKSCiphertext:
+    """Slot rotation by `r` with a key map {r: automorphism key}
+    (default/rotate.rs keyed path; raises MissingAutomorphismKey as
+    error.rs:31 when the requested rotation has no key)."""
+    if r not in key_map:
+        raise MissingAutomorphismKey("rotate", r)
+    return rotate(module, a, key_map[r])
 
 
 def conjugate(module: Module, a: CKKSCiphertext, auto_key) -> CKKSCiphertext:

@@ -103,6 +103,62 @@ def gglwe_encrypt_sk_compressed(
     )
 
 
+@struct.dataclass
+class GGSWCompressed:
+    """GGSW bodies + one mask seed (layouts/compressed/ggsw.rs:21).
+
+    A plaintext in ciphertext column j > 0 is realized against the *raw*
+    uniform column (encrypt_sk_internal computes the body with
+    norm(mask_j − pt) but stores mask_j itself), so body + seed losslessly
+    reconstructs every column."""
+
+    body: jnp.ndarray   # [..., dnum, rank+1 (pt cols), size, N]
+    seed: bytes = _static()
+    base2k: int = _static()
+    k: int = _static()
+    dsize: int = _static(default=1)
+
+
+def ggsw_encrypt_sk_compressed(
+    module: Module, pt, sk: GLWESecretPrepared, base2k: int, k: int,
+    dnum: int, source_xe: Source, source_xa: Source, dsize: int = 1, **kw,
+) -> GGSWCompressed:
+    """Compressed GGSW: branched mask stream, body column only."""
+    from poulpy_tpu.core.encryption import ggsw_encrypt_sk
+
+    seed, child = source_xa.branch()
+    ct = ggsw_encrypt_sk(
+        module, pt, sk, base2k, k, dnum, source_xe, child, dsize=dsize, **kw
+    )
+    return GGSWCompressed(
+        body=ct.data[..., 0, :, :], seed=seed, base2k=base2k, k=k, dsize=dsize
+    )
+
+
+def ggsw_decompress(module: Module, ct: GGSWCompressed):
+    """Replay ggsw_encrypt_sk's sampling order: one uniform mask block of
+    shape batch+(dnum, rank, size, N) per plaintext column j."""
+    from poulpy_tpu.core.layouts import GGSWCiphertext
+
+    source = Source(ct.seed)
+    *batch, dnum, cols, size, n = ct.body.shape
+    rank = cols - 1
+    parts = []
+    for j in range(cols):
+        mask = jnp.asarray(
+            source.uniform_digits(
+                ct.base2k, tuple(batch) + (dnum, rank, size, n)
+            )
+        )
+        parts.append(
+            jnp.concatenate(
+                [ct.body[..., j, None, :, :], mask], axis=-3
+            )
+        )
+    data = jnp.stack(parts, axis=-4)  # [..., dnum, rank+1, rank+1, size, N]
+    return GGSWCiphertext(data=data, base2k=ct.base2k, k=ct.k, dsize=ct.dsize)
+
+
 def gglwe_decompress(module: Module, ct: GGLWECompressed):
     """Regenerate every mask column from the seed, replaying the keygen's
     sampling order (gglwe_encrypt_sk batches rows per input column)."""

@@ -150,3 +150,15 @@ def test_composite(ctx):
     # NOTE: add aligns budgets via rescale internally
     want = z1 * z2 + z3
     assert np.abs(got - want).max() < 1e-3
+
+
+def test_error_taxonomy():
+    """Typed composition errors mirror poulpy-ckks/src/error.rs variants."""
+    from poulpy_tpu.ckks import ops
+
+    with pytest.raises(ops.InsufficientHomomorphicCapacity):
+        ops._checked_sub("rescale", 5, 10)
+    with pytest.raises(ops.MissingAutomorphismKey):
+        ops.rotate_by(None, None, {}, 3)
+    assert issubclass(ops.PlaintextBase2KMismatch, ops.CKKSError)
+    assert issubclass(ops.PlaintextAlignmentImpossible, ops.CKKSError)

@@ -1,0 +1,93 @@
+"""Compressed (seeded) layer: decompress is bit-exact vs direct encryption
+with the same branched mask stream (the reference's compressed test pattern,
+poulpy-core/src/layouts/compressed/)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from poulpy_tpu.core import compressed as comp
+from poulpy_tpu.core import encryption as enc
+from poulpy_tpu.core.layouts import GLWEPlaintext
+from poulpy_tpu.core.prepared import glwe_secret_prepare
+from poulpy_tpu.hal import vec_znx
+from poulpy_tpu.hal.module import get_module
+from poulpy_tpu.hal.source import Source
+
+N = 64
+BASE2K = 17
+K_CT = 51
+K_KEY = 68
+RNG = np.random.default_rng(11)
+
+
+def setup():
+    m = get_module(N, 2)
+    sk = enc.secret_new(m, 1, Source(bytes(32)))
+    return m, glwe_secret_prepare(m, sk)
+
+
+def test_glwe_compressed_bit_exact():
+    m, skp = setup()
+    data = RNG.integers(-(2**15), 2**15, size=N, dtype=np.int64)
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(BASE2K, 34, 3, jnp.asarray(data)),
+        base2k=BASE2K, k=34,
+    )
+    ct_c = comp.glwe_encrypt_sk_compressed(
+        m, pt, skp, BASE2K, K_CT, Source(b"\x01" * 32), Source(b"\x02" * 32)
+    )
+    ct = comp.glwe_decompress(m, ct_c)
+    # direct twin: replay the same branch of the mask stream
+    _, child = Source(b"\x02" * 32).branch()
+    direct = enc.glwe_encrypt_sk(
+        m, pt, skp, BASE2K, K_CT, Source(b"\x01" * 32), child
+    )
+    assert jnp.array_equal(ct.data, direct.data)
+
+
+def test_gglwe_compressed_bit_exact():
+    m, skp = setup()
+    scalar = jnp.asarray(RNG.integers(-2, 3, size=(1, N), dtype=np.int64))
+    ct_c = comp.gglwe_encrypt_sk_compressed(
+        m, scalar, skp, BASE2K, K_KEY, 3,
+        Source(b"\x01" * 32), Source(b"\x02" * 32),
+    )
+    ct = comp.gglwe_decompress(m, ct_c)
+    _, child = Source(b"\x02" * 32).branch()
+    direct = enc.gglwe_encrypt_sk(
+        m, scalar, skp, BASE2K, K_KEY, 3, Source(b"\x01" * 32), child
+    )
+    assert jnp.array_equal(ct.data, direct.data)
+
+
+def test_ggsw_compressed_bit_exact():
+    m, skp = setup()
+    scalar = jnp.asarray(RNG.integers(-2, 3, size=N, dtype=np.int64))
+    ct_c = comp.ggsw_encrypt_sk_compressed(
+        m, scalar, skp, BASE2K, K_KEY, 3,
+        Source(b"\x01" * 32), Source(b"\x02" * 32),
+    )
+    ct = comp.ggsw_decompress(m, ct_c)
+    _, child = Source(b"\x02" * 32).branch()
+    direct = enc.ggsw_encrypt_sk(
+        m, scalar, skp, BASE2K, K_KEY, 3, Source(b"\x01" * 32), child
+    )
+    assert jnp.array_equal(ct.data, direct.data)
+
+
+def test_brk_compressed_bit_exact():
+    from poulpy_tpu.binfhe import blind_rotation as br
+
+    m, skp = setup()
+    n_lwe = 8
+    sk_lwe = jnp.asarray(RNG.integers(0, 2, size=n_lwe, dtype=np.int64))
+    key_c = br.blind_rotation_key_encrypt_sk_compressed(
+        m, sk_lwe, skp, BASE2K, K_KEY, 3,
+        Source(b"\x01" * 32), Source(b"\x02" * 32),
+    )
+    brk = br.blind_rotation_key_decompress(m, key_c)
+    _, child = Source(b"\x02" * 32).branch()
+    direct = br.blind_rotation_key_encrypt_sk(
+        m, sk_lwe, skp, BASE2K, K_KEY, 3, Source(b"\x01" * 32), child
+    )
+    assert jnp.array_equal(brk.pmats, direct.pmats)

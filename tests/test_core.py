@@ -332,3 +332,30 @@ def test_lwe_keyswitch():
     out = dec.lwe_decrypt(ct2, sk2)
     got = np.asarray(vec_znx.decode_vec_i64(BASE2K, 17, out[..., None]))[..., 0]
     assert abs(int(got) - int(data[0])) <= 1
+
+
+def test_measured_noise_api(ctx):
+    """glwe/gglwe/ggsw_noise match the reference noise/ module semantics:
+    every gadget row's measured noise is at fresh-encryption level."""
+    from poulpy_tpu.core import noise as noise_mod
+
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    data = rand_msg()
+    pt = encode(data)
+    ct = enc.glwe_encrypt_sk(m, pt, skp, BASE2K, K_CT, xe, xa)
+    st = noise_mod.glwe_noise(m, ct, pt, skp)
+    fresh = np.log2(6 * 3.2) - K_CT + 0.5
+    assert st.log2_max <= fresh, st
+
+    scalar = jnp.asarray(RNG.integers(-2, 3, size=(1, N), dtype=np.int64))
+    gglwe = enc.gglwe_encrypt_sk(m, scalar, skp, BASE2K, K_KEY, 3, xe, xa)
+    for row in range(3):
+        st = noise_mod.gglwe_noise(m, gglwe, row, 0, scalar[0], skp)
+        assert st.log2_max <= np.log2(6 * 3.2) - K_KEY + 0.5, (row, st)
+
+    ggsw = enc.ggsw_encrypt_sk(m, scalar[0], skp, BASE2K, K_KEY, 3, xe, xa)
+    for row in range(3):
+        for col in range(ggsw.rank + 1):
+            st = noise_mod.ggsw_noise(m, ggsw, row, col, scalar[0], skp)
+            assert st.log2_max <= np.log2(6 * 3.2) - K_KEY + 1.0, (row, col, st)
