@@ -244,19 +244,27 @@ def fheuint_decrypt(module: Module, ct: FheUint, skp) -> int:
 def fheuint_prepare(
     module: Module, ct: FheUint, key: BDDKey
 ) -> FheUintPrepared:
-    """Extract each bit to LWE, circuit-bootstrap into a GGSW selector
-    (fhe_uint_prepared.rs:131-464; threads → batched loop here)."""
-    bits = []
-    for j in range(ct.width):
-        lwe = lwe_from_glwe(
-            module, ct.glwe, j, key.ks_lwe, key.n_lwe, key.base2k, key.k_ct
-        )
-        ggsw = circuit_bootstrap(
-            module, lwe, 1, key.cbt, dnum_res=key.dnum_ggsw,
-            k_res=key.k_ggsw, to_exponent=False,
-        )
-        bits.append(ggsw_prepare(module, ggsw))
-    return FheUintPrepared(bits=bits, width=ct.width)
+    """Extract every bit to LWE and circuit-bootstrap ALL of them in ONE
+    batched call (fhe_uint_prepared.rs:131-464 uses a thread pool per bit;
+    here the width is a leading batch axis through rotate → keyswitch →
+    sample-extract → circuit bootstrap, so one compiled pipeline prepares
+    the whole integer)."""
+    from poulpy_tpu.core.conversion import lwe_sample_extract
+    from poulpy_tpu.core.keyswitching import glwe_keyswitch
+    from poulpy_tpu.core.operations import glwe_rotate
+
+    w = ct.width
+    shifts = -jnp.arange(w, dtype=jnp.int64)[:, None, None]
+    rot = glwe_rotate(shifts, ct.glwe)          # [w, rank+1, size, N]
+    ks = glwe_keyswitch(module, rot, key.ks_lwe, key.base2k, key.k_ct)
+    lwe = lwe_sample_extract(ks, key.n_lwe, key.k_ct)
+    ggsw = circuit_bootstrap(
+        module, lwe, 1, key.cbt, dnum_res=key.dnum_ggsw,
+        k_res=key.k_ggsw, to_exponent=False,
+    )
+    prepared = ggsw_prepare(module, ggsw)       # pmat [w, dnum, ., ., ., P, N]
+    bits = [prepared.replace(pmat=prepared.pmat[j]) for j in range(w)]
+    return FheUintPrepared(bits=bits, width=w)
 
 
 # --------------------------------------------------------------------------

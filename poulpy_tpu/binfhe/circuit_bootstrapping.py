@@ -133,7 +133,9 @@ def circuit_bootstrap(
         if i + 1 < dnum_res:
             acc = glwe_rotate(-gap, acc)
 
-    gglwe_data = jnp.stack(rows, axis=0)[:, None]  # [dnum, 1, rank+1, size, N]
+    # [..., dnum, 1, rank+1, size, N] — batch axes (if any) stay leading, so
+    # one call bootstraps a whole batch of LWEs (the FheUint preparation path)
+    gglwe_data = jnp.expand_dims(jnp.stack(rows, axis=-4), axis=-4)
     gglwe = GGLWECiphertext(
         data=gglwe_data, base2k=base2k, k=acc.k, dsize=1
     )

@@ -104,6 +104,79 @@ def gglwe_encrypt_sk_compressed(
 
 
 @struct.dataclass
+class LWECompressed:
+    """LWE body limbs + mask seed (layouts/compressed/lwe.rs).
+
+    Valid because uniform_digits samples are already in balanced-digit
+    normal form, so the stored mask columns equal the raw stream."""
+
+    body: jnp.ndarray   # [..., size, 1]
+    seed: bytes = _static()
+    base2k: int = _static()
+    k: int = _static()
+    n_lwe: int = _static(default=0)
+
+
+def lwe_encrypt_sk_compressed(
+    module_unused, pt, sk_lwe, base2k: int, k: int,
+    source_xe: Source, source_xa: Source, **kw,
+) -> LWECompressed:
+    from poulpy_tpu.core.encryption import lwe_encrypt_sk
+
+    seed, child = source_xa.branch()
+    ct = lwe_encrypt_sk(None, pt, sk_lwe, base2k, k, source_xe, child, **kw)
+    return LWECompressed(
+        body=ct.data[..., :, 0:1], seed=seed, base2k=base2k, k=k,
+        n_lwe=int(sk_lwe.shape[-1]),
+    )
+
+
+def lwe_decompress(ct: LWECompressed):
+    from poulpy_tpu.core.layouts import LWECiphertext
+
+    source = Source(ct.seed)
+    size = ct.body.shape[-2]
+    batch = ct.body.shape[:-2]
+    a = jnp.asarray(source.uniform_digits(ct.base2k, batch + (size, ct.n_lwe)))
+    data = jnp.concatenate([ct.body, a], axis=-1)
+    return LWECiphertext(data=data, base2k=ct.base2k, k=ct.k)
+
+
+def glwe_switching_key_encrypt_sk_compressed(
+    module: Module, sk_in, sk_out: GLWESecretPrepared, base2k: int, k: int,
+    dnum: int, source_xe: Source, source_xa: Source, dsize: int = 1, **kw,
+) -> GGLWECompressed:
+    """Seeded switching key (compressed/glwe_switching_key.rs) — the GGLWE
+    compression applied to the switching-key plaintext columns."""
+    return gglwe_encrypt_sk_compressed(
+        module, sk_in.data, sk_out, base2k, k, dnum,
+        source_xe, source_xa, dsize=dsize, **kw,
+    )
+
+
+def glwe_automorphism_key_encrypt_sk_compressed(
+    module: Module, p: int, sk, base2k: int, k: int, dnum: int,
+    source_xe: Source, source_xa: Source, dsize: int = 1, **kw,
+):
+    """Seeded automorphism key (compressed/glwe_automorphism_key.rs):
+    same permuted-secret construction as the direct keygen
+    (encryption/glwe_automorphism_key.rs:88-107), bodies + seed only."""
+    from poulpy_tpu.core.layouts import GLWESecret
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
+    from poulpy_tpu.hal.vec_znx import vec_znx_automorphism
+
+    p_inv = pow(int(p) % (2 * module.n), -1, 2 * module.n)
+    sk_out = GLWESecret(
+        data=vec_znx_automorphism(p_inv, sk.data), dist=sk.dist
+    )
+    key = gglwe_encrypt_sk_compressed(
+        module, sk.data, glwe_secret_prepare(module, sk_out), base2k, k,
+        dnum, source_xe, source_xa, dsize=dsize, **kw,
+    )
+    return key, p
+
+
+@struct.dataclass
 class GGSWCompressed:
     """GGSW bodies + one mask seed (layouts/compressed/ggsw.rs:21).
 

@@ -91,3 +91,36 @@ def test_brk_compressed_bit_exact():
         m, sk_lwe, skp, BASE2K, K_KEY, 3, Source(b"\x01" * 32), child
     )
     assert jnp.array_equal(brk.pmats, direct.pmats)
+
+
+def test_lwe_compressed_bit_exact():
+    n_lwe = 16
+    sk_lwe = jnp.asarray(RNG.integers(0, 2, n_lwe, dtype=np.int64))
+    pt = np.zeros((3, 1), dtype=np.int64)
+    pt[0, 0] = 1234
+    ct_c = comp.lwe_encrypt_sk_compressed(
+        None, jnp.asarray(pt), sk_lwe, BASE2K, K_CT,
+        Source(b"\x01" * 32), Source(b"\x02" * 32),
+    )
+    ct = comp.lwe_decompress(ct_c)
+    _, child = Source(b"\x02" * 32).branch()
+    direct = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), sk_lwe, BASE2K, K_CT,
+        Source(b"\x01" * 32), child,
+    )
+    assert jnp.array_equal(ct.data, direct.data)
+
+
+def test_automorphism_key_compressed_bit_exact():
+    m, _ = setup()
+    sk = enc.secret_new(m, 1, Source(bytes(32)))
+    key_c, p = comp.glwe_automorphism_key_encrypt_sk_compressed(
+        m, 5, sk, BASE2K, K_KEY, 3, Source(b"\x01" * 32), Source(b"\x02" * 32)
+    )
+    key = comp.gglwe_decompress(m, key_c)
+    _, child = Source(b"\x02" * 32).branch()
+    direct, p2 = enc.glwe_automorphism_key_encrypt_sk(
+        m, 5, sk, BASE2K, K_KEY, 3, Source(b"\x01" * 32), child
+    )
+    assert p == p2 == 5
+    assert jnp.array_equal(key.data, direct.data)
