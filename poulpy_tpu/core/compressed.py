@@ -176,6 +176,65 @@ def glwe_automorphism_key_encrypt_sk_compressed(
     return key, p
 
 
+def glwe_to_lwe_key_encrypt_sk_compressed(
+    module: Module, sk_lwe, sk_glwe, base2k: int, k: int, dnum: int,
+    source_xe: Source, source_xa: Source, **kw,
+) -> GGLWECompressed:
+    """Seeded GLWEToLWEKey (compressed/glwe_to_lwe_key.rs): the switching
+    key sk_glwe → embedded sk_lwe, bodies + seed."""
+    from poulpy_tpu.core.conversion import lwe_secret_as_glwe
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
+
+    sk_emb_prep = glwe_secret_prepare(
+        module, lwe_secret_as_glwe(module, sk_lwe)
+    )
+    return glwe_switching_key_encrypt_sk_compressed(
+        module, sk_glwe, sk_emb_prep, base2k, k, dnum,
+        source_xe, source_xa, **kw,
+    )
+
+
+def lwe_to_glwe_key_encrypt_sk_compressed(
+    module: Module, sk_lwe, sk_glwe_prepared, base2k: int, k: int, dnum: int,
+    source_xe: Source, source_xa: Source, **kw,
+) -> GGLWECompressed:
+    """Seeded LWEToGLWEKey (compressed/lwe_to_glwe_key.rs)."""
+    from poulpy_tpu.core.conversion import lwe_secret_as_glwe
+
+    sk_emb = lwe_secret_as_glwe(module, sk_lwe)
+    return glwe_switching_key_encrypt_sk_compressed(
+        module, sk_emb, sk_glwe_prepared, base2k, k, dnum,
+        source_xe, source_xa, **kw,
+    )
+
+
+def glwe_tensor_key_encrypt_sk_compressed(
+    module: Module, sk, sk_prepared: GLWESecretPrepared, base2k: int, k: int,
+    dnum: int, source_xe: Source, source_xa: Source, dsize: int = 1, **kw,
+) -> dict:
+    """Seeded tensor/relinearization key (compressed/glwe_tensor_key.rs):
+    one seeded GGLWE per (i ≤ j) secret pair, each on its own branch of
+    the mask stream."""
+    from poulpy_tpu.hal import dft
+
+    rank = sk.rank
+    keys = {}
+    for i in range(rank):
+        for j in range(i, rank):
+            si_dft = dft.dft_apply(module, sk.data[i][None, :])
+            sj_p = dft.svp_prepare(module, sk.data[j])
+            sisj = dft.idft_apply(module, dft.svp_apply(module, si_dft, sj_p))[0]
+            keys[(i, j)] = gglwe_encrypt_sk_compressed(
+                module, sisj[None, :], sk_prepared, base2k, k, dnum,
+                source_xe, source_xa, dsize=dsize, **kw,
+            )
+    return keys
+
+
+def glwe_tensor_key_decompress(module: Module, keys: dict) -> dict:
+    return {ij: gglwe_decompress(module, c) for ij, c in keys.items()}
+
+
 @struct.dataclass
 class GGSWCompressed:
     """GGSW bodies + one mask seed (layouts/compressed/ggsw.rs:21).

@@ -132,7 +132,11 @@ def glwe_tensor_relinearize(
     res_k: int | None = None,
 ) -> GLWECiphertext:
     """Full ct×ct multiply: tensor product then keyswitch each s_i·s_j term
-    back to the base key (glwe_tensor_relinearize, operations/glwe.rs:545)."""
+    back to the base key (glwe_tensor_relinearize, operations/glwe.rs:545).
+
+    Scale convention: the bivariate limb convolution shifts the product one
+    limb up, so the result decodes at precision k_a + k_b − base2k (CKKS
+    mul compensates this inside its landing shift, ckks/ops.py off_bits)."""
     from poulpy_tpu.core.keyswitching import gglwe_product_dft
 
     assert a.base2k == b.base2k

@@ -61,7 +61,9 @@ def serialize_layout(obj) -> bytes:
     arrays = []
     for f in fields:
         v = getattr(obj, f.name)
-        if isinstance(v, (int, str)):
+        if isinstance(v, bytes):
+            meta[f.name] = {"__bytes__": v.hex()}  # compressed-layer seeds
+        elif isinstance(v, (int, str)):
             meta[f.name] = v
         else:
             arrays.append((f.name, v))
@@ -87,7 +89,12 @@ def deserialize_layout(data: bytes, cls):
     if hdr["type"] != cls.__name__:
         raise ValueError(f"type mismatch: {hdr['type']} != {cls.__name__}")
     off = 8 + mlen
-    kwargs = dict(hdr["meta"])
+    kwargs = {
+        k: bytes.fromhex(v["__bytes__"])
+        if isinstance(v, dict) and "__bytes__" in v
+        else v
+        for k, v in hdr["meta"].items()
+    }
     while off < len(data):
         nlen = _struct.unpack_from("<Q", view, off)[0]
         off += 8

@@ -124,3 +124,31 @@ def test_automorphism_key_compressed_bit_exact():
     )
     assert p == p2 == 5
     assert jnp.array_equal(key.data, direct.data)
+
+
+def test_tensor_key_compressed_roundtrip():
+    m, skp = setup()
+    sk = enc.secret_new(m, 2, Source(b"\x07" * 32))
+    from poulpy_tpu.core.prepared import glwe_secret_prepare as prep
+
+    skp2 = prep(m, sk)
+    keys_c = comp.glwe_tensor_key_encrypt_sk_compressed(
+        m, sk, skp2, BASE2K, K_KEY, 3, Source(b"\x01" * 32), Source(b"\x02" * 32)
+    )
+    keys = comp.glwe_tensor_key_decompress(m, keys_c)
+    assert set(keys) == {(0, 0), (0, 1), (1, 1)}
+    # direct twin replaying the same per-pair branch sequence
+    xa = Source(b"\x02" * 32)
+    xe = Source(b"\x01" * 32)
+    direct = enc.glwe_tensor_key_encrypt_sk(
+        m, sk, skp2, BASE2K, K_KEY, 3, xe, xa
+    )
+    # direct keygen draws from xa unbranched, so compare via decompression
+    # consistency instead: each pair decompresses to a well-formed GGLWE
+    # whose digest differs across pairs (distinct branches)
+    from poulpy_tpu.utils.serialization import digest_u64
+
+    digests = {ij: digest_u64(k.data) for ij, k in keys.items()}
+    assert len(set(digests.values())) == 3
+    for ij in keys:
+        assert keys[ij].data.shape == direct[ij].data.shape

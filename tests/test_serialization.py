@@ -1,0 +1,77 @@
+"""Layout (de)serialization round trips (poulpy-hal WriterTo/ReaderFrom +
+the generic_serialization test pattern, poulpy-bin-fhe blind_rotation
+tests/test_suite/generic_serialization.rs)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from poulpy_tpu.core import compressed as comp
+from poulpy_tpu.core import encryption as enc
+from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext
+from poulpy_tpu.core.prepared import glwe_secret_prepare
+from poulpy_tpu.hal import vec_znx
+from poulpy_tpu.hal.module import get_module
+from poulpy_tpu.hal.source import Source
+from poulpy_tpu.utils.serialization import (
+    deserialize_layout,
+    digest_u64,
+    serialize_layout,
+)
+
+N = 64
+BASE2K = 17
+RNG = np.random.default_rng(13)
+
+
+def _ct():
+    m = get_module(N, 2)
+    sk = enc.secret_new(m, 1, Source(bytes(32)))
+    skp = glwe_secret_prepare(m, sk)
+    data = RNG.integers(-(2**15), 2**15, size=N, dtype=np.int64)
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(BASE2K, 34, 3, jnp.asarray(data)),
+        base2k=BASE2K, k=34,
+    )
+    return m, skp, pt, enc.glwe_encrypt_sk(
+        m, pt, skp, BASE2K, 51, Source(b"\x01" * 32), Source(b"\x02" * 32)
+    )
+
+
+def test_glwe_roundtrip():
+    _, _, _, ct = _ct()
+    blob = serialize_layout(ct)
+    back = deserialize_layout(blob, GLWECiphertext)
+    assert back.base2k == ct.base2k and back.k == ct.k
+    assert jnp.array_equal(back.data, ct.data)
+
+
+def test_compressed_roundtrip_with_seed():
+    m, skp, pt, _ = _ct()
+    ct_c = comp.glwe_encrypt_sk_compressed(
+        m, pt, skp, BASE2K, 51, Source(b"\x01" * 32), Source(b"\x02" * 32)
+    )
+    blob = serialize_layout(ct_c)
+    back = deserialize_layout(blob, comp.GLWECompressed)
+    assert back.seed == ct_c.seed and isinstance(back.seed, bytes)
+    assert jnp.array_equal(back.body, ct_c.body)
+    # the wire form is usable: decompress both and compare
+    assert jnp.array_equal(
+        comp.glwe_decompress(m, back).data,
+        comp.glwe_decompress(m, ct_c).data,
+    )
+
+
+def test_type_mismatch_rejected():
+    _, _, _, ct = _ct()
+    blob = serialize_layout(ct)
+    with pytest.raises(ValueError, match="type mismatch"):
+        deserialize_layout(blob, comp.GLWECompressed)
+
+
+def test_digest_stable():
+    _, _, _, ct = _ct()
+    d1 = digest_u64(ct.data)
+    d2 = digest_u64(np.asarray(ct.data).copy())
+    assert d1 == d2
+    assert d1 != digest_u64(np.asarray(ct.data) + 1)
