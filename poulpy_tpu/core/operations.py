@@ -135,8 +135,13 @@ def glwe_tensor_relinearize(
     back to the base key (glwe_tensor_relinearize, operations/glwe.rs:545).
 
     Scale convention: the bivariate limb convolution shifts the product one
-    limb up, so the result decodes at precision k_a + k_b − base2k (CKKS
-    mul compensates this inside its landing shift, ckks/ops.py off_bits)."""
+    limb up (value × 2^base2k).  The result is the product of the
+    ciphertexts' UNREDUCED values pt + I (I = integer part of Σ c_i·s_i,
+    |I| up to ~N/2), so it contains mask-wrap cross terms I_a·pt_b +
+    I_b·pt_a above the pt_a·pt_b signal; extracting a usable product
+    requires a scale analysis placing those terms below the decode
+    precision — see ckks/ops.py mul (off_bits landing shift), the only
+    consumer in the reference as well."""
     from poulpy_tpu.core.keyswitching import gglwe_product_dft
 
     assert a.base2k == b.base2k

@@ -359,3 +359,54 @@ def test_measured_noise_api(ctx):
         for col in range(ggsw.rank + 1):
             st = noise_mod.ggsw_noise(m, ggsw, row, col, scalar[0], skp)
             assert st.log2_max <= np.log2(6 * 3.2) - K_KEY + 1.0, (row, col, st)
+
+
+def test_tensor_relinearize(ctx):
+    """Relinearization keyswitches the quadratic term exactly up to
+    keyswitch noise: decrypt(relin(a, b)) == norm(d0 + d1·s + d2·s²).
+
+    NOTE semantics: a raw ct×ct tensor product is the product of the
+    ciphertexts' UNREDUCED values pt + I (I = the integer part of c1·s,
+    up to ~N/2), so it carries mask-wrap cross terms I_a·pt_b + I_b·pt_a
+    above the pt_a·pt_b signal.  Extracting a meaningful product requires
+    the CKKS-style scale analysis (ckks/ops.py mul, where the landing
+    shift keeps those terms below delta precision) — so this test checks
+    the exact algebraic contract, not a decoded product value."""
+    from poulpy_tpu.core.operations import (
+        glwe_tensor_product_big,
+        glwe_tensor_relinearize,
+    )
+    from poulpy_tpu.core.prepared import glwe_tensor_key_prepare
+    from poulpy_tpu.hal import dft
+    from poulpy_tpu.hal.normalization import vec_znx_normalize
+
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    data = np.zeros(N, dtype=np.int64)
+    data[0] = 3 << 10
+    pt = encode(data)
+    ct = enc.glwe_encrypt_sk(m, pt, skp, BASE2K, 85, xe, xa)
+    tk = glwe_tensor_key_prepare(
+        m,
+        enc.glwe_tensor_key_encrypt_sk(m, sk, skp, BASE2K, 119, 7, xe, xa),
+    )
+    prod = glwe_tensor_relinearize(m, ct, ct, tk)
+    have = dec.glwe_decrypt(m, prod, skp)
+
+    # exact oracle: d0 + d1·s + d2·s² in the big domain
+    lin, quad = glwe_tensor_product_big(m, ct, ct, ct.size * 2 - 1)
+    s_prep = skp.data[0]
+
+    def times_s(big):
+        x = dft.dft_apply(m, vec_znx_normalize(BASE2K, big))
+        return dft.idft_apply(m, dft.svp_apply(m, x, s_prep))
+
+    total = lin[0] + times_s(lin[1]) + times_s(times_s(quad[(0, 0)]))
+    want = dft.big_normalize(m, have.data.shape[-2], BASE2K, total, BASE2K)
+
+    err = vec_znx.decode_vec_float(
+        BASE2K, np.asarray(have.data)
+    ) - vec_znx.decode_vec_float(BASE2K, np.asarray(want))
+    err -= np.round(err)
+    # only the tensor-key keyswitch noise remains (k_tsk = 119)
+    assert np.abs(err).max() < 2.0**-90, np.log2(np.abs(err).max())
