@@ -25,3 +25,15 @@ def use_pallas() -> bool:
     if env == "pallas":
         return True
     return jax.default_backend() == "tpu"
+
+
+@functools.lru_cache(maxsize=1)
+def use_fused() -> bool:
+    """Fused external-product/keyswitch mega-kernels (pallas_fused.py).
+
+    On by default whenever the Pallas backend is active; POULPY_TPU_FUSED=0
+    falls back to the stage-by-stage kernels.
+    """
+    if os.environ.get("POULPY_TPU_FUSED") == "0":
+        return False
+    return use_pallas()

@@ -1,0 +1,456 @@
+"""Fused external-product / keyswitch mega-kernels.
+
+The unfused pipeline (dft_apply → vmp_apply → idft_apply → big_normalize)
+materializes every stage to HBM; at N=2048/B=256 that is ~6 ms of almost
+pure bandwidth.  These two kernels keep the whole GLWE gadget product in
+VMEM per batch tile (ROADMAP.md perf item 1):
+
+  Kernel A  (residues → forward NTT → VMP → inverse NTT), pure i32:
+    the reference call stack's hot region (SURVEY.md §3.2:
+    vec_znx_dft_apply / vmp_apply_dft_to_dft / vec_znx_idft_apply_consume,
+    poulpy-cpu-ref/src/reference/fft64/{vec_znx_dft.rs:160,vmp.rs:144}).
+
+  Kernel B  (Garner CRT lift → optional small add → big_normalize):
+    the big-accumulator exit (vec_znx_big_normalize,
+    reference/fft64/vec_znx_big.rs:241-278).  Mosaic has no 64-bit vectors,
+    so the wrapping-i64 big values are emulated as (hi, lo) i32 pairs; the
+    bit-window normalization then only ever needs 32-bit funnel shifts and
+    the carry scan runs entirely in i32 (windows lie in [0, 2^base2k)).
+
+Bit-exactness: both kernels reproduce the jnp reference backend results
+exactly (tests/test_fused.py), because every step is the same exact integer
+computation — same Montgomery constants, same Garner digit recurrence, same
+window/carry schedule.
+
+Preconditions (asserted by the dispatch wrapper, not data-checked):
+  * input limbs satisfy |x| < 2^29 (normalized ciphertexts and their small
+    combinations always do; this mirrors the reference FFT64 backend's own
+    53-bit exactness precondition on reim_from_znx);
+  * res_base2k + ceil(log2(psize + 1)) ≤ 31 so window sums fit i32;
+  * dsize == 1 (the dsize > 1 digit grouping stays on the unfused path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from poulpy_tpu.backends.pallas_ntt import (
+    _add_mod,
+    _stage_twiddles,
+    _sub_mod,
+    mont_mul_i32,
+)
+from poulpy_tpu.hal.module import Module
+from poulpy_tpu.hal.primes import R, PrimeBasis
+
+I32_MIN = -(1 << 31)
+MASK32 = (1 << 32) - 1
+
+
+def _i32c(v: int) -> int:
+    """Python int → the signed value of its low 32 bits."""
+    return ((v & MASK32) ^ (1 << 31)) - (1 << 31)
+
+
+# ---------------------------------------------------------------------------
+# i64-as-(hi, lo) i32-pair primitives (lo interpreted unsigned)
+# ---------------------------------------------------------------------------
+
+def _add64(h1, l1, h2, l2):
+    lo = l1 + l2
+    # unsigned overflow ⟺ u32(lo) < u32(l1):  flip sign bits, compare signed
+    c = ((lo ^ I32_MIN) < (l1 ^ I32_MIN)).astype(jnp.int32)
+    return h1 + h2 + c, lo
+
+
+def _sub64(h1, l1, h2, l2):
+    lo = l1 - l2
+    b = ((l1 ^ I32_MIN) < (l2 ^ I32_MIN)).astype(jnp.int32)
+    return h1 - h2 - b, lo
+
+
+def _lsr32(x, s: int):
+    """Logical right shift of an i32 bit pattern by static 0 ≤ s < 32."""
+    if s == 0:
+        return x
+    return (x >> s) & ((1 << (32 - s)) - 1)
+
+
+def _shr64_lo32(h, l, s: int):
+    """Low 32 bits of the arithmetic 64-bit shift (h:l) >> s, static s ≥ 0."""
+    if s == 0:
+        return l
+    if s < 32:
+        return _lsr32(l, s) | (h << (32 - s))
+    if s == 32:
+        return h
+    if s < 64:
+        return h >> (s - 32)
+    return h >> 31
+
+
+def _shl64_u31(v, s: int):
+    """(0, v) << s for v ≥ 0 (< 2^31), static 0 ≤ s; returns (hi, lo)."""
+    z = jnp.zeros_like(v)
+    if s == 0:
+        return z, v
+    if s < 32:
+        return v >> (32 - s), v << s
+    if s < 64:
+        return v << (s - 32), z
+    return z, z
+
+
+def _mul_d30_w64(d, w: int):
+    """(d · w) mod 2^64 as (hi, lo), for 0 ≤ d < 2^30 and static w < 2^64.
+
+    15-bit digit schoolbook: every partial product < 2^30 stays in i32.
+    """
+    parts = []
+    for j, dj in enumerate((d & 0x7FFF, d >> 15)):
+        for k in range(5):
+            wk = (w >> (15 * k)) & 0x7FFF
+            sh = 15 * (j + k)
+            if wk == 0 or sh >= 64:
+                continue
+            parts.append(_shl64_u31(dj * jnp.int32(wk), sh))
+    hi = jnp.zeros_like(d)
+    lo = jnp.zeros_like(d)
+    for ph, pll in parts:
+        hi, lo = _add64(hi, lo, ph, pll)
+    return hi, lo
+
+
+# ---------------------------------------------------------------------------
+# Kernel A: residues → NTT → VMP → iNTT  (pure i32, per-prime unrolled)
+# ---------------------------------------------------------------------------
+
+def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index):
+    """Forward Cooley–Tukey stages on [rows, N] for one prime (scalar p)."""
+    for s in range(logn):
+        half = n >> (s + 1)
+        w = wref[s, stage_index]
+        mask = (lane & (2 * half - 1)) < half
+        y = mont_mul_i32(x, w, p, qinv)
+        lo_new = _add_mod(x, pltpu.roll(y, jnp.int32(n - half), axis=1), p)
+        hi_new = _sub_mod(pltpu.roll(x, jnp.int32(half), axis=1), y, p)
+        x = jnp.where(mask, lo_new, hi_new)
+    return x
+
+
+def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index):
+    """Inverse Gentleman–Sande stages + N^{-1} scale, one prime."""
+    for si in range(logn):
+        s = logn - 1 - si
+        half = n >> (s + 1)
+        w = wref[si, stage_index]
+        mask = (lane & (2 * half - 1)) < half
+        partner = jnp.where(
+            mask,
+            pltpu.roll(x, jnp.int32(n - half), axis=1),
+            pltpu.roll(x, jnp.int32(half), axis=1),
+        )
+        u = _add_mod(x, partner, p)
+        d_hi = _sub_mod(partner, x, p)
+        v = mont_mul_i32(d_hi, w, p, qinv)
+        x = jnp.where(mask, u, v)
+    return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
+
+
+def _kernel_a(n, logn, primes, qinvs, ninvs, t_tile, kk, mdim,
+              a_ref, wf_ref, wi_ref, pm_ref, o_ref):
+    x = a_ref[...]                          # [T·KK, N] small signed limbs
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    outs = []
+    for pi, p in enumerate(primes):
+        qinv = qinvs[pi]
+        # residues: |x| < 2^29 < p, so one conditional add + one csub
+        r = jnp.where(x < 0, x + jnp.int32(2 * p), x)
+        r = jnp.where(r >= p, r - p, r)
+        r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi)
+        r4 = r.reshape(t_tile, kk, n)
+        acc = None
+        for k in range(kk):
+            term = mont_mul_i32(
+                r4[:, k, :][:, None, :], pm_ref[pi, k][None, :, :], p, qinv
+            )                               # [T, M, N]
+            acc = term if acc is None else _add_mod(acc, term, p)
+        y = acc.reshape(t_tile * mdim, n)
+        lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+        y = _intt_rows(y, wi_ref, lane_y, n, logn, p, qinv, ninvs[pi], pi)
+        outs.append(y)
+    o_ref[...] = jnp.stack(outs, axis=0)    # [P, T·M, N]
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_a_fn(n: int, primes: tuple, t_tile: int, kk: int, mdim: int):
+    logn = n.bit_length() - 1
+    P = len(primes)
+    qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
+    ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
+    wf = _stage_twiddles(primes, n, False, P)   # [logn, P, N]
+    wi = _stage_twiddles(primes, n, True, P)
+    kernel = functools.partial(
+        _kernel_a, n, logn, primes, qinvs, ninvs, t_tile, kk, mdim
+    )
+
+    def fn(a, pm):  # a: [Bp·KK, N] i32; pm: [P, KK, M, N] i32
+        bp = a.shape[0] // kk
+        grid = (bp // t_tile,)
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((t_tile * kk, n), lambda bi: (bi, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((P, kk, mdim, n), lambda bi: (0, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (P, t_tile * mdim, n), lambda bi: (0, bi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (P, bp * mdim, n), jnp.int32
+                ),
+            )(a, jnp.asarray(wf), jnp.asarray(wi), pm)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Kernel B: Garner lift → (+ small) → big_normalize  (i32 + pair emulation)
+# ---------------------------------------------------------------------------
+
+def _kernel_b(primes, basis: PrimeBasis, psize, s_size, res_size,
+              kr, ka, offset, tb,
+              *refs):
+    if s_size:
+        x_ref, sm_ref, o_ref = refs
+    else:
+        x_ref, o_ref = refs
+        sm_ref = None
+    P = len(primes)
+    n = x_ref.shape[-1]
+    qinvs = [(-pow(p, -1, R)) % R for p in primes]
+
+    # --- Garner mixed-radix digits (hal.ntt.garner_lift, same recurrence) --
+    digits = []
+    for i, p in enumerate(primes):
+        xi = x_ref[i]                       # [Tb·psize, N]
+        for j in range(i):
+            c = int(basis.garner_pprod_mont[i, j])
+            xi = _sub_mod(
+                xi, mont_mul_i32(digits[j], jnp.int32(c), p, qinvs[i]), p
+            )
+        if i > 0:
+            xi = mont_mul_i32(
+                xi, jnp.int32(int(basis.garner_inv_mont[i])), p, qinvs[i]
+            )
+        digits.append(xi)
+
+    # --- V = Σ d_i · W_i mod 2^64 as (hi, lo) pairs ------------------------
+    weights = [int(np.uint64(w.view(np.uint64)))
+               for w in basis.garner_weight_u64]
+    hi = jnp.zeros_like(digits[0])
+    lo = digits[0]                          # W_0 = 1
+    for i in range(1, P):
+        ph, plo = _mul_d30_w64(digits[i], weights[i])
+        hi, lo = _add64(hi, lo, ph, plo)
+
+    # --- centering: subtract M when (d_{P-1},…,d_0) >lex digits of M/2 -----
+    gt = jnp.zeros(lo.shape, dtype=bool)
+    eq = jnp.ones(lo.shape, dtype=bool)
+    for i in range(P - 1, -1, -1):
+        hd = jnp.int32(int(basis.half_digits[i]))
+        gt = gt | (eq & (digits[i] > hd))
+        eq = eq & (digits[i] == hd)
+    m64 = basis.modulus & ((1 << 64) - 1)
+    mh = jnp.where(gt, jnp.int32(_i32c(m64 >> 32)), 0)
+    ml = jnp.where(gt, jnp.int32(_i32c(m64)), 0)
+    hi, lo = _sub64(hi, lo, mh, ml)
+
+    his = [hi.reshape(tb, psize, n)[:, j, :] for j in range(psize)]
+    los = [lo.reshape(tb, psize, n)[:, j, :] for j in range(psize)]
+
+    # --- add small term (keyswitch body), sign-extended --------------------
+    if sm_ref is not None:
+        sm = sm_ref[...].reshape(tb, s_size, n)
+        for j in range(min(s_size, psize)):
+            sj = sm[:, j, :]
+            his[j], los[j] = _add64(his[j], los[j], sj >> 31, sj)
+
+    # --- bit-window telescoping (hal.normalization.vec_znx_normalize_full):
+    # window(V_j, t, kr) ∈ [0, 2^kr) needs only 32 bits of the funnel shift.
+    mask_kr = (1 << kr) - 1
+    accs = []
+    for i in range(res_size):
+        w = (i + 1) * kr
+        acc = None
+        for j in range(psize):
+            t = w - ((j + 1) * ka - offset)
+            if t >= kr:
+                continue                    # window provably zero
+            if t > 0:
+                piece = (los[j] & ((1 << (kr - t)) - 1)) << t
+            else:
+                piece = _shr64_lo32(his[j], los[j], -t) & mask_kr
+            acc = piece if acc is None else acc + piece
+        if acc is None:
+            acc = jnp.zeros_like(los[0])
+        accs.append(acc)
+
+    # --- i32 carry scan (hal.normalization.vec_znx_normalize, lsh = 0) -----
+    def gdig(k, x):
+        sh = 32 - k
+        return (x << sh) >> sh
+
+    out = [None] * res_size
+    if res_size == 1:
+        out[0] = gdig(kr, accs[0])
+    else:
+        x0 = gdig(kr, accs[res_size - 1])
+        c = (accs[res_size - 1] - x0) >> kr
+        out[res_size - 1] = x0
+        for j in range(res_size - 2, 0, -1):
+            dj = gdig(kr, accs[j])
+            carry_j = (accs[j] - dj) >> kr
+            dpc = dj + c
+            x1 = gdig(kr, dpc)
+            out[j] = x1
+            c = carry_j + ((dpc - x1) >> kr)
+        out[0] = gdig(kr, gdig(kr, accs[0]) + c)
+    o_ref[...] = jnp.stack(out, axis=1).reshape(tb * res_size, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _kernel_b_fn(n: int, primes: tuple, psize: int, s_size: int,
+                 res_size: int, kr: int, ka: int, offset: int, tb: int):
+    basis = PrimeBasis(primes)
+    P = len(primes)
+    kernel = functools.partial(
+        _kernel_b, primes, basis, psize, s_size, res_size, kr, ka, offset, tb
+    )
+
+    def fn(x, sm=None):  # x: [P, Bq·psize, N] i32; sm: [Bq·s_size, N] i32
+        bq = x.shape[1] // psize
+        grid = (bq // tb,)
+        in_specs = [
+            pl.BlockSpec((P, tb * psize, n), lambda bi: (0, bi, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [x]
+        if s_size:
+            in_specs.append(
+                pl.BlockSpec((tb * s_size, n), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(sm)
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec(
+                    (tb * res_size, n), lambda bi: (bi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                out_shape=jax.ShapeDtypeStruct(
+                    (bq * res_size, n), jnp.int32
+                ),
+            )(*args)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Wrappers
+# ---------------------------------------------------------------------------
+
+def fused_supported(module: Module, psize: int, res_base2k: int) -> bool:
+    """Static validity of the fused path (see module docstring)."""
+    return res_base2k + (psize + 1).bit_length() <= 31 and res_base2k <= 26
+
+
+def fused_glwe_product(
+    module: Module,
+    a_data,                  # [..., ci, size_a, N] i64, |limb| < 2^29
+    pmat,                    # [rows, ci, co, psize, P, N] Montgomery
+    res_size: int,
+    res_base2k: int,
+    pm_base2k: int,
+    small=None,              # [..., s_size, N] i64 body to add at col 0
+    t_tile: int = 8,
+):
+    """Fused equivalent of dft_apply → vmp_apply → idft_apply →
+    (big_add_small at column 0) → big_normalize, bit-exact vs the jnp path.
+    """
+    n = module.n
+    P = module.nprimes
+    rows, ci, co, psize = pmat.shape[:4]
+    lead = a_data.shape[:-3]
+    a_size = a_data.shape[-2]
+    rmax = min(rows, a_size)
+    kk = ci * rmax
+    mdim = co * psize
+    assert fused_supported(module, psize, res_base2k)
+
+    b_tot = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    t_tile = min(t_tile, max(1, b_tot))
+    # keep the kernel-A working set well under VMEM (~16 MB/core)
+    logn = n.bit_length() - 1
+
+    def vmem_bytes(t):
+        return 4 * n * (
+            t * kk + P * t * kk + P * kk * mdim + 2 * P * t * mdim
+            + 2 * logn * P
+        )
+
+    while t_tile > 1 and vmem_bytes(t_tile) > 10 * (1 << 20):
+        t_tile -= 1
+    a32 = a_data[..., :rmax, :].reshape(b_tot, kk, n).astype(jnp.int32)
+    pad = (-b_tot) % t_tile
+    if pad:
+        a32 = jnp.pad(a32, ((0, pad), (0, 0), (0, 0)))
+    bp = b_tot + pad
+
+    # pmat [r, ci, co, j, P, N] → [P, (ci·rmax + r? no: ci-major, r-minor), co·j, N]
+    pm = pmat[:rmax].astype(jnp.int32)
+    pm = jnp.transpose(pm, (4, 1, 0, 2, 3, 5)).reshape(P, kk, mdim, n)
+
+    outa = _kernel_a_fn(n, module.basis.primes, t_tile, kk, mdim)(
+        a32.reshape(bp * kk, n), pm
+    )                                        # [P, bp·co·psize, N]
+
+    tb = min(8, bp * co)
+    while (bp * co) % tb:
+        tb -= 1
+    if small is not None:
+        s_size = small.shape[-2]
+        sm = jnp.zeros(lead + (co, s_size, n), jnp.int32)
+        sm = sm.at[..., 0, :, :].set(small.astype(jnp.int32))
+        sm = sm.reshape(b_tot * co, s_size, n)
+        if pad:
+            sm = jnp.pad(sm, ((0, pad * co), (0, 0), (0, 0)))
+        sm = sm.reshape(bp * co * s_size, n)
+    else:
+        s_size = 0
+        sm = None
+    outb = _kernel_b_fn(
+        n, module.basis.primes, psize, s_size, res_size,
+        res_base2k, pm_base2k, 0, tb,
+    )(outa, sm)                              # [bp·co·res_size, N] i32
+
+    out = outb.reshape(bp, co, res_size, n)[:b_tot]
+    return out.reshape(lead + (co, res_size, n)).astype(jnp.int64)

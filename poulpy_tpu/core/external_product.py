@@ -42,6 +42,19 @@ def glwe_external_product(
     pmat = ggsw.pmat
 
     if dsize == 1:
+        from poulpy_tpu import backends
+
+        if backends.use_fused():
+            from poulpy_tpu.backends.pallas_fused import (
+                fused_glwe_product,
+                fused_supported,
+            )
+
+            if fused_supported(module, pmat.shape[3], res_base2k):
+                res = fused_glwe_product(
+                    module, a.data, pmat, res_size, res_base2k, ggsw.base2k
+                )
+                return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
         a_dft = dft.dft_apply(module, a.data)
         res_dft = dft.vmp_apply(module, a_dft, pmat)
     else:

@@ -72,6 +72,27 @@ def glwe_keyswitch(
     if a.base2k != key.base2k:
         a = glwe_normalize(module, a, key.base2k, a.k)
 
+    if key.dsize == 1:
+        from poulpy_tpu import backends
+
+        if backends.use_fused():
+            from poulpy_tpu.backends.pallas_fused import (
+                fused_glwe_product,
+                fused_supported,
+            )
+
+            if fused_supported(module, key.pmat.shape[3], res_base2k):
+                res = fused_glwe_product(
+                    module,
+                    a.data[..., 1:, :, :],
+                    key.pmat,
+                    res_size,
+                    res_base2k,
+                    key.base2k,
+                    small=a.data[..., 0, :, :],
+                )
+                return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
+
     a_dft = dft.dft_apply(module, a.data[..., 1:, :, :])
     res_dft = gglwe_product_dft(module, a_dft, key)
     res_big = dft.idft_apply(module, res_dft)

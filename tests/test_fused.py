@@ -1,0 +1,175 @@
+"""Fused mega-kernel equivalence vs the jnp reference backend.
+
+Same cross-backend contract as tests/test_pallas.py: the fused Pallas
+pipeline (backends/pallas_fused.py) must reproduce the stage-by-stage jnp
+path bit-exactly — the cross_backend_test_suite analogue
+(poulpy-hal/src/test_suite/mod.rs:35-95) for the fused external product /
+keyswitch kernels.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from poulpy_tpu.backends import pallas_fused as pf
+from poulpy_tpu.hal import dft
+from poulpy_tpu.hal.module import get_module
+from poulpy_tpu.hal.normalization import vec_znx_normalize_full
+from poulpy_tpu.hal.ntt import garner_lift
+
+RNG = np.random.default_rng(7)
+
+
+def _rand_residues(basis, shape):
+    """Random standard-form residues [..., P, N]."""
+    out = np.zeros(shape, dtype=np.int64)
+    for i, p in enumerate(basis.primes):
+        out[..., i, :] = RNG.integers(0, p, size=shape[:-2] + shape[-1:])
+    return jnp.asarray(out)
+
+
+def _rand_mont(basis, shape):
+    """Random Montgomery-form prepared values (any residue is valid)."""
+    return _rand_residues(basis, shape)
+
+
+@pytest.mark.parametrize("nprimes", [2, 4])
+@pytest.mark.parametrize(
+    "psize,res_size,kr,ka,offset,s_size",
+    [
+        (4, 3, 17, 17, 0, 0),
+        (4, 3, 17, 17, 0, 3),
+        (3, 5, 13, 19, 0, 0),
+        (2, 2, 17, 17, -5, 0),
+        (5, 2, 21, 17, 4, 2),
+    ],
+)
+def test_garner_normalize_kernel(nprimes, psize, res_size, kr, ka, offset, s_size):
+    n = 128
+    m = get_module(n, nprimes)
+    P = nprimes
+    bq = 5
+    x = _rand_residues(m.basis, (bq, psize, P, n))
+    # jnp reference path
+    big = garner_lift(m.tables, x)                       # [bq, psize, n] i64
+    sm = None
+    if s_size:
+        sm = jnp.asarray(
+            RNG.integers(-(2**20), 2**20, size=(bq, s_size, n), dtype=np.int64)
+        )
+        upto = min(s_size, psize)
+        big = big.at[..., :upto, :].add(sm[..., :upto, :])
+    want = vec_znx_normalize_full(res_size, kr, offset, big, ka)
+
+    # fused kernel B: input [P, bq·psize, N] i32
+    xk = jnp.moveaxis(x, -2, 0).reshape(P, bq * psize, n).astype(jnp.int32)
+    fn = pf._kernel_b_fn(
+        n, m.basis.primes, psize, s_size, res_size, kr, ka, offset, tb=1
+    )
+    with pltpu.force_tpu_interpret_mode():
+        if s_size:
+            have = fn(xk, sm.reshape(bq * s_size, n).astype(jnp.int32))
+        else:
+            have = fn(xk)
+    have = have.reshape(bq, res_size, n).astype(jnp.int64)
+    assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
+@pytest.mark.parametrize("nprimes", [2, 4])
+@pytest.mark.parametrize(
+    "ci,co,rows,size_a,psize,batch",
+    [
+        (2, 2, 3, 3, 4, 4),     # rank-1 external product (bench config shape)
+        (1, 2, 4, 4, 4, 3),     # rank-1 keyswitch mask
+        (3, 3, 2, 3, 3, 1),     # rank-2, a_size > rows
+        (2, 2, 4, 3, 4, 5),     # rows > a_size
+    ],
+)
+def test_fused_glwe_product_matches_jnp(nprimes, ci, co, rows, size_a, psize, batch):
+    n = 128
+    m = get_module(n, nprimes)
+    P = nprimes
+    kr, ka = 17, 17
+    res_size = 3
+    a = jnp.asarray(
+        RNG.integers(-(2**26), 2**26, size=(batch, ci, size_a, n), dtype=np.int64)
+    )
+    pmat = _rand_mont(m.basis, (rows, ci, co, psize, P, n))
+
+    # jnp reference pipeline (dft → vmp → idft → normalize)
+    a_dft = dft.dft_apply(m, a)
+    res_dft = dft.vmp_apply(m, a_dft, pmat)
+    big = dft.idft_apply(m, res_dft)
+    want = dft.big_normalize(m, res_size, kr, big, ka)
+
+    with pltpu.force_tpu_interpret_mode():
+        have = pf.fused_glwe_product(m, a, pmat, res_size, kr, ka, t_tile=2)
+    assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
+def test_fused_keyswitch_small_add_matches_jnp():
+    n = 128
+    m = get_module(n, 2)
+    P, ci, co, rows, size_a, psize, batch = 2, 1, 2, 3, 3, 4, 3
+    kr = 17
+    res_size = 3
+    a = jnp.asarray(
+        RNG.integers(-(2**16), 2**16, size=(batch, ci, size_a, n), dtype=np.int64)
+    )
+    body = jnp.asarray(
+        RNG.integers(-(2**16), 2**16, size=(batch, size_a, n), dtype=np.int64)
+    )
+    pmat = _rand_mont(m.basis, (rows, ci, co, psize, P, n))
+
+    a_dft = dft.dft_apply(m, a)
+    res_dft = dft.vmp_apply(m, a_dft, pmat)
+    big = dft.idft_apply(m, res_dft)
+    big = big.at[..., 0, : size_a, :].add(body)
+    want = dft.big_normalize(m, res_size, kr, big, kr)
+
+    with pltpu.force_tpu_interpret_mode():
+        have = pf.fused_glwe_product(
+            m, a, pmat, res_size, kr, kr, small=body, t_tile=2
+        )
+    assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
+def test_fused_crypto_roundtrip():
+    """End-to-end: fused external product on a real encrypted GGSW selector
+    decrypts to the same plaintext as the unfused path (bit-exact cts)."""
+    from poulpy_tpu.core.encryption import (
+        ggsw_encrypt_sk,
+        glwe_encrypt_sk,
+        secret_new,
+    )
+    from poulpy_tpu.core.layouts import GLWEPlaintext
+    from poulpy_tpu.core.prepared import ggsw_prepare, glwe_secret_prepare
+    from poulpy_tpu.hal import vec_znx
+    from poulpy_tpu.hal.source import Source
+
+    n = 128
+    m = get_module(n, 2)
+    base2k, k_ct, k_ggsw, dnum = 17, 51, 68, 3
+    sk = secret_new(m, rank=1, source=Source(b"\x0b" * 32), dist="ternary_prob")
+    skp = glwe_secret_prepare(m, sk)
+    msg = jnp.asarray(RNG.integers(-(2**15), 2**15, size=n, dtype=np.int64))
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 34, 3, msg), base2k=base2k, k=34
+    )
+    ct = glwe_encrypt_sk(m, pt, skp, base2k, k_ct, Source(b"\x01" * 32), Source(b"\x02" * 32))
+    ggsw = ggsw_encrypt_sk(
+        m, jnp.zeros((n,), jnp.int64).at[0].set(1), skp,
+        base2k, k_ggsw, dnum, Source(b"\x03" * 32), Source(b"\x04" * 32),
+    )
+    ggsw_p = ggsw_prepare(m, ggsw)
+
+    from poulpy_tpu.core.external_product import glwe_external_product
+
+    want = glwe_external_product(m, ct, ggsw_p)  # jnp path (CPU dispatch)
+    with pltpu.force_tpu_interpret_mode():
+        have = pf.fused_glwe_product(
+            m, ct.data, ggsw_p.pmat, want.size, base2k, base2k, t_tile=2
+        )
+    assert np.array_equal(np.asarray(have), np.asarray(want.data))
