@@ -128,7 +128,7 @@ def _mul_d30_w64(d, w: int):
 
 
 # ---------------------------------------------------------------------------
-# Kernel A: residues → NTT → VMP → iNTT  (pure i32, per-prime unrolled)
+# NTT stage helpers (pure i32, per-prime, scalar immediates)
 # ---------------------------------------------------------------------------
 
 def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index):
@@ -163,68 +163,223 @@ def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index):
     return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
 
 
-def _kernel_a(n, logn, primes, qinvs, ninvs, t_tile, kk, mdim,
-              a_ref, wf_ref, wi_ref, pm_ref, o_ref):
-    x = a_ref[...]                          # [T·KK, N] small signed limbs
+# ---------------------------------------------------------------------------
+# The single fused pipeline kernel:
+#   residues → NTT → per-block-element (VMP [+ X^a rotate − id]) accumulate
+#   → iNTT → Garner → (+ acc | + small) → big_normalize
+# block == 1 / rotate == False is the plain external product / keyswitch;
+# block ≥ 1 / rotate == True is one block-binary CGGI step
+# (poulpy-bin-fhe/src/blind_rotation/algorithms/cggi/algorithm.rs:275-368).
+# ---------------------------------------------------------------------------
+
+def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
+                 t_tile, cols, size_a, rmax, co, psize,
+                 res_size, kr, ka, offset, block, rotate, add_acc, s_size,
+                 *refs):
+    it = iter(refs)
+    a_ref = next(it)
+    wf_ref = next(it)
+    wi_ref = next(it)
+    pm_ref = next(it)
+    xp_ref = next(it) if rotate else None
+    sm_ref = next(it) if s_size else None
+    o_ref = next(it)
+
+    P = len(primes)
+    kk = cols * rmax
+    mdim = co * psize
+    x = a_ref[...]                          # [T·cols·size_a, N] small limbs
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    outs = []
+
+    ys = []
     for pi, p in enumerate(primes):
         qinv = qinvs[pi]
-        # residues: |x| < 2^29 < p, so one conditional add + one csub
+        # residues: |x| < 2^29 < p ⇒ one conditional add + one csub
         r = jnp.where(x < 0, x + jnp.int32(2 * p), x)
         r = jnp.where(r >= p, r - p, r)
         r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi)
-        r4 = r.reshape(t_tile, kk, n)
-        acc = None
-        for k in range(kk):
-            term = mont_mul_i32(
-                r4[:, k, :][:, None, :], pm_ref[pi, k][None, :, :], p, qinv
-            )                               # [T, M, N]
-            acc = term if acc is None else _add_mod(acc, term, p)
-        y = acc.reshape(t_tile * mdim, n)
+        r4 = r.reshape(t_tile, cols, size_a, n)[:, :, :rmax, :]
+        r4 = r4.reshape(t_tile, kk, n)
+        add = None
+        for bi in range(block):
+            acc = None
+            for k in range(kk):
+                term = mont_mul_i32(
+                    r4[:, k, :][:, None, :], pm_ref[pi, bi, k][None, :, :],
+                    p, qinv,
+                )                           # [T, M, N]
+                acc = term if acc is None else _add_mod(acc, term, p)
+            if rotate:
+                xp = xp_ref[pi, bi]         # [T, N] Montgomery X^{a_i}
+                rot = mont_mul_i32(acc, xp[:, None, :], p, qinv)
+                acc = _sub_mod(rot, acc, p)
+            add = acc if add is None else _add_mod(add, acc, p)
+        y = add.reshape(t_tile * mdim, n)
         lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-        y = _intt_rows(y, wi_ref, lane_y, n, logn, p, qinv, ninvs[pi], pi)
-        outs.append(y)
-    o_ref[...] = jnp.stack(outs, axis=0)    # [P, T·M, N]
+        ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
+                             ninvs[pi], pi))
+
+    # --- Garner mixed-radix digits (hal.ntt.garner_lift) --------------------
+    digits = []
+    for i, p in enumerate(primes):
+        xi = ys[i]                          # [T·M, N]
+        for j in range(i):
+            c = int(basis.garner_pprod_mont[i, j])
+            xi = _sub_mod(
+                xi, mont_mul_i32(digits[j], jnp.int32(c), p, qinvs[i]), p
+            )
+        if i > 0:
+            xi = mont_mul_i32(
+                xi, jnp.int32(int(basis.garner_inv_mont[i])), p, qinvs[i]
+            )
+        digits.append(xi)
+
+    weights = [int(np.uint64(w.view(np.uint64)))
+               for w in basis.garner_weight_u64]
+    hi = jnp.zeros_like(digits[0])
+    lo = digits[0]                          # W_0 = 1
+    for i in range(1, P):
+        ph, plo = _mul_d30_w64(digits[i], weights[i])
+        hi, lo = _add64(hi, lo, ph, plo)
+
+    gt = jnp.zeros(lo.shape, dtype=bool)
+    eq = jnp.ones(lo.shape, dtype=bool)
+    for i in range(P - 1, -1, -1):
+        hd = jnp.int32(int(basis.half_digits[i]))
+        gt = gt | (eq & (digits[i] > hd))
+        eq = eq & (digits[i] == hd)
+    m64 = basis.modulus & ((1 << 64) - 1)
+    mh = jnp.where(gt, jnp.int32(_i32c(m64 >> 32)), 0)
+    ml = jnp.where(gt, jnp.int32(_i32c(m64)), 0)
+    hi, lo = _sub64(hi, lo, mh, ml)
+
+    hi = hi.reshape(t_tile, co, psize, n)
+    lo = lo.reshape(t_tile, co, psize, n)
+    his = [[hi[:, c, j, :] for j in range(psize)] for c in range(co)]
+    los = [[lo[:, c, j, :] for j in range(psize)] for c in range(co)]
+
+    # --- + acc (block-binary carry) or + body (keyswitch), sign-extended ---
+    if add_acc:
+        x4 = x.reshape(t_tile, cols, size_a, n)
+        for c in range(min(cols, co)):
+            for j in range(min(size_a, psize)):
+                sj = x4[:, c, j, :]
+                his[c][j], los[c][j] = _add64(his[c][j], los[c][j],
+                                              sj >> 31, sj)
+    if s_size:
+        sm = sm_ref[...].reshape(t_tile, s_size, n)
+        for j in range(min(s_size, psize)):
+            sj = sm[:, j, :]
+            his[0][j], los[0][j] = _add64(his[0][j], los[0][j], sj >> 31, sj)
+
+    # --- bit-window telescoping + i32 carry scan (per output column) -------
+    mask_kr = (1 << kr) - 1
+
+    def gdig(k, v):
+        sh = 32 - k
+        return (v << sh) >> sh
+
+    out_rows = []
+    for c in range(co):
+        accs = []
+        for i in range(res_size):
+            w = (i + 1) * kr
+            acc = None
+            for j in range(psize):
+                t = w - ((j + 1) * ka - offset)
+                if t >= kr:
+                    continue
+                if t > 0:
+                    piece = (los[c][j] & ((1 << (kr - t)) - 1)) << t
+                else:
+                    piece = _shr64_lo32(his[c][j], los[c][j], -t) & mask_kr
+                acc = piece if acc is None else acc + piece
+            if acc is None:
+                acc = jnp.zeros_like(los[0][0])
+            accs.append(acc)
+        out = [None] * res_size
+        if res_size == 1:
+            out[0] = gdig(kr, accs[0])
+        else:
+            x0 = gdig(kr, accs[res_size - 1])
+            cy = (accs[res_size - 1] - x0) >> kr
+            out[res_size - 1] = x0
+            for j in range(res_size - 2, 0, -1):
+                dj = gdig(kr, accs[j])
+                carry_j = (accs[j] - dj) >> kr
+                dpc = dj + cy
+                x1 = gdig(kr, dpc)
+                out[j] = x1
+                cy = carry_j + ((dpc - x1) >> kr)
+            out[0] = gdig(kr, gdig(kr, accs[0]) + cy)
+        out_rows.extend(out)
+    o_ref[...] = jnp.stack(out_rows, axis=1).reshape(
+        t_tile * co * res_size, n
+    )
 
 
 @functools.lru_cache(maxsize=None)
-def _kernel_a_fn(n: int, primes: tuple, t_tile: int, kk: int, mdim: int):
+def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
+             rmax: int, co: int, psize: int, res_size: int, kr: int, ka: int,
+             offset: int, block: int, rotate: bool, s_size: int,
+             add_acc: bool):
     logn = n.bit_length() - 1
     P = len(primes)
+    kk = cols * rmax
+    mdim = co * psize
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
     ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
     wf = _stage_twiddles(primes, n, False, P)   # [logn, P, N]
     wi = _stage_twiddles(primes, n, True, P)
+    basis = PrimeBasis(primes)
     kernel = functools.partial(
-        _kernel_a, n, logn, primes, qinvs, ninvs, t_tile, kk, mdim
+        _kernel_pipe, n, logn, primes, qinvs, ninvs, basis,
+        t_tile, cols, size_a, rmax, co, psize,
+        res_size, kr, ka, offset, block, rotate, add_acc, s_size,
     )
+    rows_a = cols * size_a
 
-    def fn(a, pm):  # a: [Bp·KK, N] i32; pm: [P, KK, M, N] i32
-        bp = a.shape[0] // kk
+    def fn(a, pm, xp=None, sm=None):
+        # a: [Bp·cols·size_a, N] i32; pm: [P, block, KK, M, N] i32
+        # xp: [P, block, Bp, N] i32; sm: [Bp·s_size, N] i32
+        bp = a.shape[0] // rows_a
         grid = (bp // t_tile,)
+        in_specs = [
+            pl.BlockSpec((t_tile * rows_a, n), lambda bi: (bi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, block, kk, mdim, n), lambda bi: (0, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [a, jnp.asarray(wf), jnp.asarray(wi), pm]
+        if rotate:
+            in_specs.append(
+                pl.BlockSpec((P, block, t_tile, n), lambda bi: (0, 0, bi, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(xp)
+        if s_size:
+            in_specs.append(
+                pl.BlockSpec((t_tile * s_size, n), lambda bi: (bi, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(sm)
         with jax.enable_x64(False):
             return pl.pallas_call(
                 kernel,
                 grid=grid,
-                in_specs=[
-                    pl.BlockSpec((t_tile * kk, n), lambda bi: (bi, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((P, kk, mdim, n), lambda bi: (0, 0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                ],
+                in_specs=in_specs,
                 out_specs=pl.BlockSpec(
-                    (P, t_tile * mdim, n), lambda bi: (0, bi, 0),
+                    (t_tile * co * res_size, n), lambda bi: (bi, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 out_shape=jax.ShapeDtypeStruct(
-                    (P, bp * mdim, n), jnp.int32
+                    (bp * co * res_size, n), jnp.int32
                 ),
-            )(a, jnp.asarray(wf), jnp.asarray(wi), pm)
+            )(*args)
 
     return fn
 
@@ -383,6 +538,39 @@ def fused_supported(module: Module, psize: int, res_base2k: int) -> bool:
     return res_base2k + (psize + 1).bit_length() <= 31 and res_base2k <= 26
 
 
+def _pick_tile(n, P, cols, size_a, rmax, co, psize, block, b_tot, t_tile=8):
+    """Largest batch tile keeping the kernel working set under ~10 MB VMEM."""
+    t_tile = min(t_tile, max(1, b_tot))
+    kk = cols * rmax
+    mdim = co * psize
+    logn = n.bit_length() - 1
+
+    def vmem_bytes(t):
+        return 4 * n * (
+            t * cols * size_a + P * t * cols * size_a
+            + P * block * kk * mdim + 2 * P * t * mdim
+            + 2 * logn * P + block * P * t
+        )
+
+    while t_tile > 1 and vmem_bytes(t_tile) > 10 * (1 << 20):
+        t_tile -= 1
+    return t_tile
+
+
+def pm_kernel_layout(pmat, rmax: int):
+    """[..., rows, ci, co, psize, P, N] Montgomery pmat → kernel layout
+    [..., P, KK=(ci·rmax), M=(co·psize), N] i32 (ci-major, row-minor)."""
+    lead = pmat.ndim - 6
+    pm = jnp.moveaxis(pmat[..., :rmax, :, :, :, :, :], lead + 4, lead)
+    pm = jnp.swapaxes(pm, lead + 1, lead + 2)   # [..., P, ci, rmax, co, j, N]
+    shape = pm.shape[:lead + 1] + (
+        pm.shape[lead + 1] * pm.shape[lead + 2],
+        pm.shape[lead + 3] * pm.shape[lead + 4],
+        pm.shape[-1],
+    )
+    return pm.reshape(shape).astype(jnp.int32)
+
+
 def fused_glwe_product(
     module: Module,
     a_data,                  # [..., ci, size_a, N] i64, |limb| < 2^29
@@ -402,55 +590,79 @@ def fused_glwe_product(
     lead = a_data.shape[:-3]
     a_size = a_data.shape[-2]
     rmax = min(rows, a_size)
-    kk = ci * rmax
-    mdim = co * psize
     assert fused_supported(module, psize, res_base2k)
 
     b_tot = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    t_tile = min(t_tile, max(1, b_tot))
-    # keep the kernel-A working set well under VMEM (~16 MB/core)
-    logn = n.bit_length() - 1
-
-    def vmem_bytes(t):
-        return 4 * n * (
-            t * kk + P * t * kk + P * kk * mdim + 2 * P * t * mdim
-            + 2 * logn * P
-        )
-
-    while t_tile > 1 and vmem_bytes(t_tile) > 10 * (1 << 20):
-        t_tile -= 1
-    a32 = a_data[..., :rmax, :].reshape(b_tot, kk, n).astype(jnp.int32)
+    t_tile = _pick_tile(n, P, ci, rmax, rmax, co, psize, 1, b_tot, t_tile)
+    a32 = a_data[..., :rmax, :].reshape(b_tot, ci * rmax, n).astype(jnp.int32)
     pad = (-b_tot) % t_tile
     if pad:
         a32 = jnp.pad(a32, ((0, pad), (0, 0), (0, 0)))
     bp = b_tot + pad
 
-    # pmat [r, ci, co, j, P, N] → [P, (ci·rmax + r? no: ci-major, r-minor), co·j, N]
-    pm = pmat[:rmax].astype(jnp.int32)
-    pm = jnp.transpose(pm, (4, 1, 0, 2, 3, 5)).reshape(P, kk, mdim, n)
+    pm = pm_kernel_layout(pmat, rmax)[None]   # [1(block), P, KK, M, N]
+    pm = jnp.moveaxis(pm, 0, 1)               # [P, 1, KK, M, N]
 
-    outa = _kernel_a_fn(n, module.basis.primes, t_tile, kk, mdim)(
-        a32.reshape(bp * kk, n), pm
-    )                                        # [P, bp·co·psize, N]
-
-    tb = min(8, bp * co)
-    while (bp * co) % tb:
-        tb -= 1
+    s_size = 0
+    sm = None
     if small is not None:
         s_size = small.shape[-2]
-        sm = jnp.zeros(lead + (co, s_size, n), jnp.int32)
-        sm = sm.at[..., 0, :, :].set(small.astype(jnp.int32))
-        sm = sm.reshape(b_tot * co, s_size, n)
+        sm = small.reshape(b_tot, s_size, n).astype(jnp.int32)
         if pad:
-            sm = jnp.pad(sm, ((0, pad * co), (0, 0), (0, 0)))
-        sm = sm.reshape(bp * co * s_size, n)
-    else:
-        s_size = 0
-        sm = None
-    outb = _kernel_b_fn(
-        n, module.basis.primes, psize, s_size, res_size,
-        res_base2k, pm_base2k, 0, tb,
-    )(outa, sm)                              # [bp·co·res_size, N] i32
+            sm = jnp.pad(sm, ((0, pad), (0, 0), (0, 0)))
+        sm = sm.reshape(bp * s_size, n)
 
-    out = outb.reshape(bp, co, res_size, n)[:b_tot]
+    out = _pipe_fn(
+        n, module.basis.primes, t_tile, ci, rmax, rmax, co, psize,
+        res_size, res_base2k, pm_base2k, 0, 1, False, s_size, False,
+    )(a32.reshape(bp * ci * rmax, n), pm, sm=sm)
+
+    out = out.reshape(bp, co, res_size, n)[:b_tot]
     return out.reshape(lead + (co, res_size, n)).astype(jnp.int64)
+
+
+def fused_br_block_step(
+    module: Module,
+    acc,                     # [..., cols, size, N] i64 normalized
+    pm_k,                    # [P, block, KK, M, N] i32 kernel-layout pmats
+    xp,                      # [..., block, P, N] Montgomery NTT(X^{a_i}) i32
+    res_size: int,
+    base2k: int,
+    t_tile: int = 8,
+):
+    """One fused block-binary CGGI step (algorithm.rs:275-368):
+
+        acc ← normalize(acc + iNTT(Σ_i (X^{a_i}·(NTT(acc) ⊡ BRK_i)
+                                          − NTT(acc) ⊡ BRK_i)))
+
+    bit-exact vs the jnp block path in blind_rotation_execute_block.
+    """
+    n = module.n
+    P = module.nprimes
+    block = pm_k.shape[1]
+    lead = acc.shape[:-3]
+    cols, size_a = acc.shape[-3], acc.shape[-2]
+    kk, mdim = pm_k.shape[2], pm_k.shape[3]
+    rmax = kk // cols
+    psize = mdim // cols
+    assert fused_supported(module, psize, base2k)
+
+    b_tot = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    t_tile = _pick_tile(n, P, cols, size_a, rmax, cols, psize, block,
+                        b_tot, t_tile)
+    a32 = acc.reshape(b_tot, cols * size_a, n).astype(jnp.int32)
+    xp32 = xp.reshape(b_tot, block, P, n).astype(jnp.int32)
+    xp32 = jnp.transpose(xp32, (2, 1, 0, 3))      # [P, block, B, N]
+    pad = (-b_tot) % t_tile
+    if pad:
+        a32 = jnp.pad(a32, ((0, pad), (0, 0), (0, 0)))
+        xp32 = jnp.pad(xp32, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    bp = b_tot + pad
+
+    out = _pipe_fn(
+        n, module.basis.primes, t_tile, cols, size_a, rmax, cols, psize,
+        res_size, base2k, base2k, 0, block, True, 0, True,
+    )(a32.reshape(bp * cols * size_a, n), pm_k, xp=xp32)
+
+    out = out.reshape(bp, cols, res_size, n)[:b_tot]
+    return out.reshape(lead + (cols, res_size, n)).astype(jnp.int64)

@@ -198,13 +198,21 @@ def blind_rotation_execute(
         )
 
     t = module.tables
+    use_fused = _use_fused_br(module, brk, base2k, extra_bits=a.shape[-1])
 
     def step(acc, inputs):
         a_i, pmat_i = inputs
-        a_dft = dft.dft_apply(module, acc)
-        res_dft = dft.vmp_apply(module, a_dft, pmat_i)
-        big = dft.idft_apply(module, res_dft)
-        tmp = dft.big_normalize(module, size, base2k, big, base2k)
+        if use_fused:
+            from poulpy_tpu.backends.pallas_fused import fused_glwe_product
+
+            tmp = fused_glwe_product(
+                module, acc, pmat_i, size, base2k, base2k
+            )
+        else:
+            a_dft = dft.dft_apply(module, acc)
+            res_dft = dft.vmp_apply(module, a_dft, pmat_i)
+            big = dft.idft_apply(module, res_dft)
+            tmp = dft.big_normalize(module, size, base2k, big, base2k)
         p = a_i[..., None, None] if batch else a_i
         upd = vec_znx_rotate(p, tmp) - tmp
         return acc + upd, None
@@ -212,6 +220,21 @@ def blind_rotation_execute(
     a_scan = jnp.moveaxis(a, -1, 0)                    # [n_lwe, ...batch]
     acc, _ = jax.lax.scan(step, acc0, (a_scan, brk.pmats))
     return vec_znx_normalize(base2k, acc)
+
+
+def _use_fused_br(module, brk, base2k, extra_bits=0):
+    """Fused-path gate for blind rotation: Pallas on, dsize 1, base2k small
+    enough that window sums fit i32 AND the unnormalized standard-path
+    accumulator (≤ n_lwe·2^base2k growth) stays under the 2^29 input bound."""
+    from poulpy_tpu import backends
+    from poulpy_tpu.backends.pallas_fused import fused_supported
+
+    if not (backends.use_fused() and brk.dsize == 1):
+        return False
+    psize = brk.pmats.shape[-3]
+    if not fused_supported(module, psize, base2k):
+        return False
+    return base2k + int(extra_bits + 2).bit_length() <= 29
 
 
 @functools.lru_cache(maxsize=None)
@@ -281,6 +304,30 @@ def blind_rotation_execute_block(
 
     a_blocks = jnp.moveaxis(a, -1, 0).reshape((nblocks, block_size) + batch)
     pm_blocks = brk.pmats.reshape((nblocks, block_size) + brk.pmats.shape[1:])
+
+    if _use_fused_br(module, brk, base2k):
+        from poulpy_tpu.backends.pallas_fused import (
+            fused_br_block_step,
+            pm_kernel_layout,
+        )
+
+        rmax = min(brk.pmats.shape[-6], size)
+        # pre-transpose every block's pmats into kernel layout once:
+        # [nblocks, P, block, KK, M, N]
+        pm_k = jnp.swapaxes(pm_kernel_layout(pm_blocks, rmax), 1, 2)
+        xpow32 = xpow.astype(jnp.int32)
+
+        def block_step_fused(acc, inputs):
+            a_blk, pm_blk = inputs
+            apos = jnp.moveaxis(a_blk, 0, -1) & (2 * n - 1)  # [...batch, blk]
+            xp = jnp.take(xpow32, apos, axis=0)   # [..., block, P, N]
+            acc = fused_br_block_step(
+                module, acc, pm_blk, xp, size, base2k
+            )
+            return acc, None
+
+        acc, _ = jax.lax.scan(block_step_fused, acc0, (a_blocks, pm_k))
+        return acc
 
     def block_step(acc, inputs):
         a_blk, pm_blk = inputs

@@ -136,6 +136,56 @@ def test_fused_keyswitch_small_add_matches_jnp():
     assert np.array_equal(np.asarray(have), np.asarray(want))
 
 
+@pytest.mark.parametrize("nprimes,batch", [(2, 3), (4, 1)])
+def test_fused_br_block_step_matches_jnp(nprimes, batch):
+    """One fused block-binary CGGI step vs the stage-by-stage jnp math
+    (blind_rotation_execute_block's block_step, algorithm.rs:275-368)."""
+    from poulpy_tpu.backends.pallas_fused import (
+        fused_br_block_step,
+        pm_kernel_layout,
+    )
+    from poulpy_tpu.binfhe.blind_rotation import _xpow_table
+    from poulpy_tpu.hal.ntt import mont_mul
+
+    n = 128
+    m = get_module(n, nprimes)
+    P = nprimes
+    base2k, cols, size, rows, psize, block = 17, 2, 3, 3, 4, 4
+    t = m.tables
+    acc = jnp.asarray(
+        RNG.integers(-(2**16), 2**16, size=(batch, cols, size, n),
+                     dtype=np.int64)
+    )
+    pmats = _rand_mont(m.basis, (block, rows, cols, cols, psize, P, n))
+    a_vals = jnp.asarray(
+        RNG.integers(0, 2 * n, size=(batch, block), dtype=np.int64)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        xpow = _xpow_table(n, m.basis.primes)
+
+        # jnp reference block step
+        acc_dft = dft.dft_apply(m, acc)
+        add_dft = None
+        for i in range(block):
+            vmp = dft.vmp_apply(m, acc_dft, pmats[i])
+            xp = jnp.take(xpow, a_vals[:, i], axis=0)      # [batch, P, N]
+            rot = mont_mul(vmp, xp[:, None, None], t.p[:, None],
+                           t.qinv[:, None])
+            term = dft.dft_sub(m, rot, vmp)
+            add_dft = term if add_dft is None else dft.dft_add(m, add_dft, term)
+        big = dft.idft_apply(m, add_dft)
+        big = big + dft._align_limbs(acc, big, big.shape[-2], limb_axis=-2)[0]
+        want = dft.big_normalize(m, size, base2k, big, base2k)
+
+        # fused kernel
+        rmax = min(rows, size)
+        pm_k = jnp.swapaxes(pm_kernel_layout(pmats, rmax), 0, 1)
+        xp_in = jnp.take(xpow, a_vals, axis=0).astype(jnp.int32)
+        have = fused_br_block_step(m, acc, pm_k, xp_in, size, base2k,
+                                   t_tile=2)
+    assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
 def test_fused_crypto_roundtrip():
     """End-to-end: fused external product on a real encrypted GGSW selector
     decrypts to the same plaintext as the unfused path (bit-exact cts)."""
