@@ -211,7 +211,19 @@ def mul(
     rank = ga.rank
 
     conv_size = ga.size + gb.size - 1
-    lin, quad = glwe_tensor_product_big(module, ga, gb, conv_size)
+    from poulpy_tpu.core.operations import tensor_product_bits
+
+    any_key = next(iter(tensor_key.keys.values()))
+    bits = max(
+        tensor_product_bits(module, ga, gb),
+        dft.product_bits(any_key.base2k, any_key.base2k, module.log_n,
+                         any_key.dnum * rank * (rank + 1)),
+    )
+    wide = dft.needs_wide(bits)  # NTT120-twin exit for base2k ≳ 26 params
+    if wide:
+        assert bits + 1 < module.basis.modulus.bit_length()
+    norm = dft.big_normalize_wide if wide else dft.big_normalize
+    lin, quad = glwe_tensor_product_big(module, ga, gb, conv_size, wide=wide)
 
     # relinearize quadratic terms with the offset applied inside the
     # decomposition normalization (keyswitch is linear, so the power-of-two
@@ -219,13 +231,38 @@ def mul(
     acc = None
     for (i, j), big in quad.items():
         key = tensor_key.keys[(min(i, j), max(i, j))]
-        d = dft.big_normalize(
+        d = norm(
             module, key.dnum * key.dsize, key.base2k, big, base2k,
             res_offset=off_bits - base2k,
         )
         d_dft = dft.dft_apply(module, d[..., None, :, :])
         part = gglwe_product_dft(module, d_dft, key)
         acc = part if acc is None else dft.dft_add(module, acc, part)
+
+    if wide:
+        from poulpy_tpu.hal.wide import wadd, wfrom_i64
+
+        ks_hi, ks_lo = dft.idft_apply_wide(module, acc)
+        lin_shifted = [
+            norm(module, ks_hi.shape[-2], base2k, t, base2k,
+                 res_offset=off_bits - base2k)
+            for t in lin
+        ]
+        hi_cols, lo_cols = [], []
+        for c in range(rank + 1):
+            ah, al = wfrom_i64(lin_shifted[c])
+            nh, nl = wadd(ks_hi[..., c, :, :], ks_lo[..., c, :, :], ah, al)
+            hi_cols.append(nh)
+            lo_cols.append(nl)
+        data = dft.big_normalize_wide(
+            module, res_size, base2k,
+            (jnp.stack(hi_cols, axis=-3), jnp.stack(lo_cols, axis=-3)),
+            base2k,
+        )
+        glwe = GLWECiphertext(data=data, base2k=base2k, k=res_k)
+        return CKKSCiphertext(
+            glwe=glwe, meta=CKKSMeta(log_delta=res_delta, log_budget=res_budget)
+        )
 
     ks_big = dft.idft_apply(module, acc)
     # linear terms with the same landing shift
@@ -269,10 +306,21 @@ def mul_plain(
     ct_prep = dft.cnv_prepare_left(module, ga.data)
     conv_size = ga.size + pt.pt.size - 1
     prod = dft.cnv_apply(module, ct_prep, pt_prep, conv_size)
-    big = dft.idft_apply(module, prod)
-    data = dft.big_normalize(
-        module, ga.size, base2k, big, base2k, res_offset=off_bits - base2k
+    bits = dft.product_bits(
+        base2k, base2k, module.log_n, min(ga.size, pt.pt.size)
     )
+    if dft.needs_wide(bits):
+        assert bits + 1 < module.basis.modulus.bit_length()
+        pair = dft.idft_apply_wide(module, prod)
+        data = dft.big_normalize_wide(
+            module, ga.size, base2k, pair, base2k,
+            res_offset=off_bits - base2k,
+        )
+    else:
+        big = dft.idft_apply(module, prod)
+        data = dft.big_normalize(
+            module, ga.size, base2k, big, base2k, res_offset=off_bits - base2k
+        )
     glwe = GLWECiphertext(data=data, base2k=base2k, k=ga.k)
     return CKKSCiphertext(
         glwe=glwe, meta=CKKSMeta(log_delta=res_delta, log_budget=res_budget)

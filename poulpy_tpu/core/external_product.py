@@ -41,10 +41,13 @@ def glwe_external_product(
     a_size = a.size
     pmat = ggsw.pmat
 
+    wide = dft.needs_wide(dft.product_bits(
+        ggsw.base2k, ggsw.base2k, module.log_n, ggsw.dnum * (ggsw.rank + 1)
+    ))
     if dsize == 1:
         from poulpy_tpu import backends
 
-        if backends.use_fused():
+        if backends.use_fused() and not wide:
             from poulpy_tpu.backends.pallas_fused import (
                 fused_glwe_product,
                 fused_supported,
@@ -70,6 +73,12 @@ def glwe_external_product(
             part = dft.vmp_apply(module, ai, pmat, limb_offset=di)
             res_dft = part if res_dft is None else dft.dft_add(module, res_dft, part)
 
+    if wide:
+        pair = dft.idft_apply_wide(module, res_dft)
+        res = dft.big_normalize_wide(
+            module, res_size, res_base2k, pair, ggsw.base2k
+        )
+        return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
     res_big = dft.idft_apply(module, res_dft)
     res = dft.big_normalize(module, res_size, res_base2k, res_big, ggsw.base2k)
     return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)

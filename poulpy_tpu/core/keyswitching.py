@@ -72,7 +72,11 @@ def glwe_keyswitch(
     if a.base2k != key.base2k:
         a = glwe_normalize(module, a, key.base2k, a.k)
 
-    if key.dsize == 1:
+    bits = dft.product_bits(
+        key.base2k, key.base2k, module.log_n, key.dnum * max(1, a.rank)
+    )
+    wide = dft.needs_wide(bits)
+    if key.dsize == 1 and not wide:
         from poulpy_tpu import backends
 
         if backends.use_fused():
@@ -95,6 +99,21 @@ def glwe_keyswitch(
 
     a_dft = dft.dft_apply(module, a.data[..., 1:, :, :])
     res_dft = gglwe_product_dft(module, a_dft, key)
+    if wide:
+        # i128-twin exit (NTT120 ScalarBig path) for base2k ≳ 26 configs
+        from poulpy_tpu.hal.wide import wadd, wfrom_i64
+
+        assert bits + 1 < module.basis.modulus.bit_length()
+        hi, lo = dft.idft_apply_wide(module, res_dft)
+        upto = min(a.data.shape[-2], hi.shape[-2])
+        sh, sl = wfrom_i64(a.data[..., 0, :upto, :])
+        nh, nl = wadd(hi[..., 0, :upto, :], lo[..., 0, :upto, :], sh, sl)
+        hi = hi.at[..., 0, :upto, :].set(nh)
+        lo = lo.at[..., 0, :upto, :].set(nl)
+        res = dft.big_normalize_wide(
+            module, res_size, res_base2k, (hi, lo), key.base2k
+        )
+        return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
     res_big = dft.idft_apply(module, res_dft)
     res_big = res_big.at[..., 0, :, :].add(
         dft._align_limbs(a.data[..., 0, :, :], res_big[..., 0, :, :],

@@ -87,8 +87,16 @@ def glwe_mul_scalar(c: int, a: GLWECiphertext) -> GLWECiphertext:
 # Tensor product + relinearization (CKKS multiplication core)
 # --------------------------------------------------------------------------
 
+def tensor_product_bits(module: Module, a: GLWECiphertext, b: GLWECiphertext) -> int:
+    """Exact-value bound (bits) for one tensor-product convolution limb."""
+    return dft.product_bits(
+        a.base2k, b.base2k, module.log_n, 2 * min(a.size, b.size)
+    )
+
+
 def glwe_tensor_product_big(
-    module: Module, a: GLWECiphertext, b: GLWECiphertext, res_size: int
+    module: Module, a: GLWECiphertext, b: GLWECiphertext, res_size: int,
+    wide: bool = False,
 ):
     """Pairwise bivariate convolution of ciphertext polys
     (glwe_tensor_apply, operations/glwe.rs:233-296 using cnv_apply_dft).
@@ -96,10 +104,12 @@ def glwe_tensor_product_big(
     For rank-1 inputs (a0, a1) ⊗ (b0, b1) returns big-domain
     (d0, d1, d2) = (a0·b0, a0·b1 + a1·b0, a1·b1) — decryptable under
     (1, s, s²).  General rank returns all symmetric products.
+    `wide` selects the i128-twin exit (hal/wide.py) for base2k ≳ 26.
     """
     rank = a.rank
     a_prep = dft.cnv_prepare_left(module, a.data)
     b_prep = dft.cnv_prepare_right(module, b.data)
+    idft = dft.idft_apply_wide if wide else dft.idft_apply
 
     def conv(i, j):
         return dft.cnv_apply(
@@ -118,8 +128,8 @@ def glwe_tensor_product_big(
             if i != j:
                 t = dft.dft_add(module, t, conv(j, i))
             terms[(i - 1, j - 1)] = t
-    lin = [dft.idft_apply(module, x) for x in out]
-    quad = {k: dft.idft_apply(module, v) for k, v in terms.items()}
+    lin = [idft(module, x) for x in out]
+    quad = {k: idft(module, v) for k, v in terms.items()}
     return lin, quad
 
 
@@ -151,17 +161,53 @@ def glwe_tensor_relinearize(
     rank = a.rank
 
     conv_size = a.size + b.size - 1
-    lin, quad = glwe_tensor_product_big(module, a, b, conv_size)
+    any_key = next(iter(tensor_key.keys.values()))
+    bits_conv = tensor_product_bits(module, a, b)
+    bits_ks = dft.product_bits(
+        any_key.base2k, any_key.base2k, module.log_n,
+        any_key.dnum * rank * (rank + 1),
+    )
+    wide = dft.needs_wide(max(bits_conv, bits_ks))
+    if wide:
+        assert max(bits_conv, bits_ks) + 1 < module.basis.modulus.bit_length()
+    lin, quad = glwe_tensor_product_big(module, a, b, conv_size, wide=wide)
 
     # Normalize the quadratic terms and keyswitch them through the tensor key
     res_size = glwe_size(res_base2k, res_k)
     acc = None
     for (i, j), big in quad.items():
         key = tensor_key.keys[(min(i, j), max(i, j))]
-        d = dft.big_normalize(module, key.dnum * key.dsize, key.base2k, big, base2k)
+        if wide:
+            d = dft.big_normalize_wide(
+                module, key.dnum * key.dsize, key.base2k, big, base2k
+            )
+        else:
+            d = dft.big_normalize(
+                module, key.dnum * key.dsize, key.base2k, big, base2k
+            )
         d_dft = dft.dft_apply(module, d[..., None, :, :])
         part = gglwe_product_dft(module, d_dft, key)
         acc = part if acc is None else dft.dft_add(module, acc, part)
+
+    if wide:
+        from poulpy_tpu.hal.wide import wadd
+
+        ks_hi, ks_lo = dft.idft_apply_wide(module, acc)
+        hi_cols, lo_cols = [], []
+        for c in range(rank + 1):
+            ch, cl = ks_hi[..., c, :, :], ks_lo[..., c, :, :]
+            ah, al = lin[c]
+            m = max(ch.shape[-2], ah.shape[-2])
+            ch, ah = dft._align_limbs(ch, ah, m, limb_axis=-2)
+            cl, al = dft._align_limbs(cl, al, m, limb_axis=-2)
+            nh, nl = wadd(ch, cl, ah, al)
+            hi_cols.append(nh)
+            lo_cols.append(nl)
+        pair = (jnp.stack(hi_cols, axis=-3), jnp.stack(lo_cols, axis=-3))
+        data = dft.big_normalize_wide(
+            module, res_size, res_base2k, pair, base2k
+        )
+        return GLWECiphertext(data=data, base2k=res_base2k, k=res_k)
 
     ks_big = dft.idft_apply(module, acc)  # [..., rank+1, size_key, N]
     # add linear terms: body gets d0, column i gets d_i

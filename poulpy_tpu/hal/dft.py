@@ -331,3 +331,46 @@ def big_normalize(
     applying a power-of-two offset if requested."""
     del module
     return vec_znx_normalize_full(res_size, res_base2k, res_offset, a_big, a_base2k)
+
+
+# --------------------------------------------------------------------------
+# Wide (i128-twin) big-accumulator mode (hal/wide.py; NTT120 ScalarBig=i128,
+# poulpy-cpu-ref/src/ntt120/module.rs:45-46) — for parameter sets whose
+# exact convolution values exceed int64 (base2k ≳ 26)
+# --------------------------------------------------------------------------
+
+def product_bits(base2k_a: int, base2k_b: int, log_n: int, terms: int) -> int:
+    """Upper bound (bits) on |Σ negacyclic products| of `terms` pairs of
+    normalized limbs: terms · N · 2^(a−1) · 2^(b−1), plus one sign bit."""
+    return (base2k_a - 1) + (base2k_b - 1) + log_n + max(0, terms - 1).bit_length() + 1
+
+
+def needs_wide(bits: int) -> bool:
+    """True when a big-accumulator value bound exceeds the exact int64
+    range of `garner_lift` (the FFT64-twin path); the wide path is the
+    NTT120 i128 twin."""
+    return bits > 62
+
+
+def idft_apply_wide(module: Module, a_dft):
+    """vec_znx_dft → wide big (hi, lo) int64 pairs — idft_apply's i128 twin."""
+    from poulpy_tpu.hal.wide import garner_lift_wide
+
+    t = module.tables
+    return garner_lift_wide(t, _ntt_inv(t, a_dft))
+
+
+def big_normalize_wide(
+    module: Module,
+    res_size: int,
+    res_base2k: int,
+    pair,
+    a_base2k: int,
+    res_offset: int = 0,
+):
+    from poulpy_tpu.hal.wide import vec_znx_normalize_full_wide
+
+    del module
+    return vec_znx_normalize_full_wide(
+        res_size, res_base2k, res_offset, pair, a_base2k
+    )
