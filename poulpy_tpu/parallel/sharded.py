@@ -97,3 +97,53 @@ def sharded_external_product_fn(
         )
 
     return jax.jit(fn)
+
+
+def sharded_external_product_ring_fn(
+    module: Module,
+    mesh,
+    res_base2k: int,
+    res_size: int,
+    ggsw_base2k: int,
+    axis: str = "sp",
+):
+    """(dp, sp)-sharded external product with the **ring degree N split over
+    `sp`** — one transform across chips (parallel/sharded_ntt.py butterfly
+    all_to_alls), for N beyond single-chip VMEM (SURVEY §2.8 design point).
+
+    Everything except the NTT stage exchanges is lane-local: residue entry,
+    the VMP contraction (pointwise per lane), the Garner lift and the
+    carry-normalization all act per coefficient.  Returns
+    fn(ct [B, rank+1, size, N], pmat [rows, ci, co, psize, P, N]) →
+    [B, rank+1, res_size, N], bit-exact vs the single-device path.
+    """
+    from poulpy_tpu.hal.ntt import to_residues
+    from poulpy_tpu.parallel.sharded_ntt import (
+        sharded_ntt_forward,
+        sharded_ntt_inverse,
+    )
+
+    t = module.tables
+    primes = module.basis.primes
+    n = module.n
+    d = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+
+    def local_step(ct, pmat_local):
+        r = to_residues(t, ct).astype(jnp.int64)      # lane-local entry
+        a_dft = sharded_ntt_forward(primes, n, d, axis, r)
+        res_dft = dft.vmp_apply(module, a_dft, pmat_local)   # pointwise
+        res_coeff = sharded_ntt_inverse(primes, n, d, axis, res_dft)
+        big = garner_lift(t, res_coeff)               # lane-local exit
+        return vec_znx_normalize_full(res_size, res_base2k, 0, big, ggsw_base2k)
+
+    shard = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None, None, axis),
+            P(None, None, None, None, None, axis),
+        ),
+        out_specs=P("dp", None, None, axis),
+        check_vma=False,
+    )
+    return jax.jit(shard)

@@ -59,6 +59,55 @@ def test_sharded_external_product_matches(tp):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_ring_external_product_matches():
+    """N split over `sp` (one transform across chips): bit-exact vs the
+    single-device external product."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from poulpy_tpu.parallel.sharded import sharded_external_product_ring_fn
+
+    n, dp, sp = 256, 2, 4
+    m = get_module(n, 2)
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    sk = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk)
+    batch = 4
+    data = np.random.default_rng(0).integers(
+        -(2**10), 2**10, size=(batch, n), dtype=np.int64
+    )
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(BASE2K, 34, 3, jnp.asarray(data)),
+        base2k=BASE2K, k=34,
+    )
+    ct = enc.glwe_encrypt_sk(
+        m, pt, skp, BASE2K, K_CT, xe, xa, batch_shape=(batch,)
+    )
+    ptg = np.zeros(n, dtype=np.int64)
+    ptg[1] = 1
+    ggsw = enc.ggsw_encrypt_sk(
+        m, jnp.asarray(ptg), skp, BASE2K, K_KEY, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    ggswp = ggsw_prepare(m, ggsw)
+    want = glwe_external_product(m, ct, ggswp).data
+
+    mesh = jax.make_mesh((dp, sp), ("dp", "sp"))
+    fn = sharded_external_product_ring_fn(
+        m, mesh, BASE2K, glwe_size(BASE2K, K_CT), ggswp.base2k
+    )
+    ct_in = jax.device_put(
+        ct.data, NamedSharding(mesh, P("dp", None, None, "sp"))
+    )
+    pm_in = jax.device_put(
+        ggswp.pmat,
+        NamedSharding(mesh, P(None, None, None, None, None, "sp")),
+    )
+    have = fn(ct_in, pm_in)
+    assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_ntt_matches_single_device():
     """N-sharded NTT with all_to_all stage exchange == single-device NTT."""
     from jax.sharding import PartitionSpec as P
