@@ -30,6 +30,13 @@ import jax
 # defined "big coefficient" semantics of the FFT64 family backends).
 jax.config.update("jax_enable_x64", True)
 
+# NOTE on jit-captured constants: weight tables become HLO constants.  The
+# four-step MXU NTT tables (backends/mxu_ntt4.py, ~10 MiB per module) are
+# fine; the dense matrices (backends/mxu_ntt.py, 256 MiB at N=2048) exceed
+# remote-compile request limits — jax_use_simplified_jaxpr_constants would
+# hoist them as runtime args but currently trips the axon plugin
+# ('TypedNdArray' has no 'sharding'), so the dense path stays test-only.
+
 from poulpy_tpu.hal.module import Module  # noqa: E402,F401
 from poulpy_tpu.hal.source import Source  # noqa: E402,F401
 

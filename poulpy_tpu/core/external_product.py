@@ -54,9 +54,19 @@ def glwe_external_product(
             )
 
             if fused_supported(module, pmat.shape[3], res_base2k):
-                res = fused_glwe_product(
-                    module, a.data, pmat, res_size, res_base2k, ggsw.base2k
-                )
+                from poulpy_tpu.backends.mxu_ntt import MXU_MIN_N, use_mxu
+
+                if use_mxu() and module.n >= MXU_MIN_N:
+                    from poulpy_tpu.backends.mxu_product import mxu_glwe_product
+
+                    res = mxu_glwe_product(
+                        module, a.data, pmat, res_size, res_base2k,
+                        ggsw.base2k, in_bits=min(29, ggsw.base2k + 6),
+                    )
+                else:
+                    res = fused_glwe_product(
+                        module, a.data, pmat, res_size, res_base2k, ggsw.base2k
+                    )
                 return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
         a_dft = dft.dft_apply(module, a.data)
         res_dft = dft.vmp_apply(module, a_dft, pmat)

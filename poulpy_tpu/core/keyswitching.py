@@ -86,15 +86,31 @@ def glwe_keyswitch(
             )
 
             if fused_supported(module, key.pmat.shape[3], res_base2k):
-                res = fused_glwe_product(
-                    module,
-                    a.data[..., 1:, :, :],
-                    key.pmat,
-                    res_size,
-                    res_base2k,
-                    key.base2k,
-                    small=a.data[..., 0, :, :],
-                )
+                from poulpy_tpu.backends.mxu_ntt import MXU_MIN_N, use_mxu
+
+                if use_mxu() and module.n >= MXU_MIN_N:
+                    from poulpy_tpu.backends.mxu_product import mxu_glwe_product
+
+                    res = mxu_glwe_product(
+                        module,
+                        a.data[..., 1:, :, :],
+                        key.pmat,
+                        res_size,
+                        res_base2k,
+                        key.base2k,
+                        small=a.data[..., 0, :, :],
+                        in_bits=min(29, key.base2k + 6),
+                    )
+                else:
+                    res = fused_glwe_product(
+                        module,
+                        a.data[..., 1:, :, :],
+                        key.pmat,
+                        res_size,
+                        res_base2k,
+                        key.base2k,
+                        small=a.data[..., 0, :, :],
+                    )
                 return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
 
     a_dft = dft.dft_apply(module, a.data[..., 1:, :, :])
