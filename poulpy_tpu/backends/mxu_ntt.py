@@ -150,11 +150,13 @@ class MxuWeights:
         fwd = _np_weights(primes, n, False)    # [P, 4N, 4N]
         inv = _np_weights(primes, n, True)
         # forward lhs (limb digits) is prime-independent → stack primes into
-        # columns for a single matmul: [4N, P·4N]
-        self.fwd = jnp.asarray(
+        # columns for a single matmul: [4N, P·4N].  Numpy (not jnp) so the
+        # lru-cached weights never capture tracers when first built inside a
+        # jit trace.
+        self.fwd = np.ascontiguousarray(
             np.transpose(fwd, (1, 0, 2)).reshape(NDIG * n, P * NDIG * n)
         )
-        self.inv = jnp.asarray(inv)            # [P, 4N, 4N]
+        self.inv = inv                         # [P, 4N, 4N]
 
 
 @functools.lru_cache(maxsize=None)

@@ -60,15 +60,30 @@ def _split(n: int) -> tuple[int, int]:
     return n1, n // n1
 
 
-def digitize_last(x, nd: int):
-    """[...] int → int8 [..., nd] balanced base-256 planes on a new axis."""
-    v = x.astype(jnp.int64) if x.dtype != jnp.int64 else x
+def digitize_planes(x, nd: int, axis: int = 1):
+    """int array → int8 balanced base-256 planes stacked at `axis`.
+
+    The plane axis must NOT be minor-most: a trailing length-nd axis wastes
+    125/128 lanes of every tile (measured 1.6 ms for one digitize at bench
+    shapes).  Values must be int32-range; arithmetic runs in int32."""
+    v = x if x.dtype == jnp.int32 else x.astype(jnp.int32)
     planes = []
     for _ in range(nd):
         d = ((v + 128) & 255) - 128
         planes.append(d.astype(jnp.int8))
         v = (v - d) >> 8
-    return jnp.stack(planes, axis=-1)
+    return jnp.stack(planes, axis=axis)
+
+
+def _assemble_ax(partials, axis: int, p, qinv):
+    """int32 partials with a length-NDIG axis at `axis` → canonical
+    residues int32 (v = Σ_d P_d·2^{8d}, then REDC²·center — the folded-2^60
+    epilogue).  `p`/`qinv` must broadcast against the reduced result."""
+    from poulpy_tpu.backends.mxu_ntt import _redc2
+
+    o = jnp.moveaxis(partials, axis, -1).astype(jnp.int64)
+    v = o[..., 0] + (o[..., 1] << 8) + (o[..., 2] << 16) + (o[..., 3] << 24)
+    return _redc2(v, p, qinv).astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -135,13 +150,16 @@ class Mxu4Weights:
             m = pw[e].reshape(n1, n2 * n2) * ninv % p
             wb[pi] = _digits_folded(m, p).reshape(n1, D, D, n2, n2)
 
-        # einsum operand layouts (axis names in forward/inverse below)
-        self.ua = jnp.asarray(np.transpose(ua, (1, 2, 0, 3, 4)))
+        # einsum operand layouts (axis names in forward/inverse below).
+        # Kept as NUMPY so the lru-cached weights never capture tracers:
+        # get_weights4 may first run inside a jit trace, and a jnp array
+        # created there would leak out through the cache.
+        self.ua = np.ascontiguousarray(np.transpose(ua, (1, 2, 0, 3, 4)))
         #   [n2, i, P, dA, k2]
-        self.vb = jnp.asarray(np.transpose(vb, (1, 0, 2, 4, 3, 5)))
+        self.vb = np.ascontiguousarray(np.transpose(vb, (1, 0, 2, 4, 3, 5)))
         #   [n1, P, j, k2, dB, k1]
-        self.wa = jnp.asarray(wa)                # [P, k1, i, dA, n1]
-        self.wb = jnp.asarray(np.transpose(wb, (0, 1, 2, 4, 3, 5)))
+        self.wa = wa                             # [P, k1, i, dA, n1]
+        self.wb = np.ascontiguousarray(np.transpose(wb, (0, 1, 2, 4, 3, 5)))
         #   [P, n1, j, k2, dB, n2]
 
 
@@ -209,25 +227,28 @@ def sigma_from_hal(primes: tuple[int, ...], n: int) -> np.ndarray:
 
 
 def mxu4_ntt_forward_limbs(t: NttTables, x, nd_in: int = NDIG):
-    """int limbs [..., N] (covered by nd_in digit planes) → σ-order
-    residues [..., P, N] int32."""
+    """int limbs [..., N] (int32-range, covered by nd_in digit planes) →
+    σ-order residues [..., P, N] int32.
+
+    Every intermediate keeps an N1- or k1-sized (128-lane) axis minor-most;
+    the digit-plane axis sits at position 1 (see digitize_planes)."""
     w = get_weights4(t)
     n, n1, n2 = w.n, w.n1, w.n2
     P = t.basis.nprimes
     lead = x.shape[:-1]
     v = x.reshape((-1, n2, n1))                            # [R, n2, n1]
-    d = digitize_last(v, nd_in)                            # [R, n2, n1, i]
+    d = digitize_planes(v, nd_in)                          # [R, i, n2, n1]
     pa = jnp.einsum(
-        "rmni,mipdk->rnpdk", d, w.ua[:, :nd_in],
+        "rimn,mipdk->rpdkn", d, w.ua[:, :nd_in],
         preferred_element_type=jnp.int32,
-    )                                                      # [R, n1, P, dA, k2]
-    a = _assemble(pa, t.p[:, None], t.qinv[:, None])       # [R, n1, P, k2]
-    da = digitize_last(a, NDIG)                            # [R, n1, P, k2, j]
+    )                                                      # [R, P, dA, k2, n1]
+    a = _assemble_ax(pa, 2, t.p[:, None, None], t.qinv[:, None, None])
+    da = digitize_planes(a, NDIG)                          # [R, j, P, k2, n1]
     pb = jnp.einsum(
-        "rnpkj,npjkbl->rpkbl", da, w.vb,
+        "rjpkn,npjkbl->rpkbl", da, w.vb,
         preferred_element_type=jnp.int32,
     )                                                      # [R, P, k2, dB, k1]
-    y = _assemble(pb, t.p[:, None, None], t.qinv[:, None, None])
+    y = _assemble_ax(pb, -2, t.p[:, None, None], t.qinv[:, None, None])
     return y.reshape(lead + (P, n))                        # [R, P, k2, k1]
 
 
@@ -239,18 +260,16 @@ def mxu4_ntt_inverse(t: NttTables, y):
     P = t.basis.nprimes
     lead = y.shape[:-2]
     v = y.reshape((-1, P, n2, n1))                         # [R, P, k2, k1]
-    d = digitize_last(v, NDIG)                             # [R, P, k2, k1, i]
+    d = digitize_planes(v, NDIG)                           # [R, i, P, k2, k1]
     pa = jnp.einsum(
-        "rpkli,plidn->rpkdn", d, w.wa,
+        "ripkl,plidn->rpdkn", d, w.wa,
         preferred_element_type=jnp.int32,
-    )                                                      # [R, P, k2, dA, n1]
-    a = _assemble(pa, t.p[:, None, None], t.qinv[:, None, None])
-    #                                                        [R, P, k2, n1]
-    da = digitize_last(a, NDIG)                            # [R, P, k2, n1, j]
+    )                                                      # [R, P, dA, k2, n1]
+    a = _assemble_ax(pa, 2, t.p[:, None, None], t.qinv[:, None, None])
+    da = digitize_planes(a, NDIG)                          # [R, j, P, k2, n1]
     pb = jnp.einsum(
-        "rpknj,pnjkbm->rpnbm", da, w.wb,
+        "rjpkn,pnjkbm->rpbmn", da, w.wb,
         preferred_element_type=jnp.int32,
-    )                                                      # [R, P, n1, dB, n2]
-    xx = _assemble(pb, t.p[:, None, None], t.qinv[:, None, None])
-    xx = jnp.swapaxes(xx, -1, -2)                          # [R, P, n2, n1]
-    return xx.reshape(lead + (P, n))
+    )                                                      # [R, P, dB, n2, n1]
+    xx = _assemble_ax(pb, 2, t.p[:, None, None], t.qinv[:, None, None])
+    return xx.reshape(lead + (P, n))                       # [R, P, n2, n1]

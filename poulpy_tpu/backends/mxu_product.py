@@ -24,10 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from poulpy_tpu.backends.mxu_ntt import NDIG
-from poulpy_tpu.backends.mxu_ntt4 import (
-    mxu4_ntt_forward_limbs,
-    mxu4_ntt_inverse,
-    sigma_from_hal,
+from poulpy_tpu.backends.mxu_ntt4 import sigma_from_hal
+from poulpy_tpu.backends.pallas_mxu import (
+    pallas_mxu4_forward_limbs,
+    pallas_mxu4_inverse,
 )
 from poulpy_tpu.backends.pallas_fused import _kernel_b_fn
 from poulpy_tpu.backends.pallas_vmp import _vmp_fn
@@ -63,8 +63,8 @@ def mxu_glwe_product(
     b_tot = int(np.prod(lead, dtype=np.int64)) if lead else 1
     nd = _nd_for_bits(in_bits)
 
-    # --- forward NTT (four-step MXU matmuls, σ frequency order) ------------
-    res = mxu4_ntt_forward_limbs(
+    # --- forward NTT (fused Pallas four-step MXU kernel, σ order) ----------
+    res = pallas_mxu4_forward_limbs(
         t, a_data[..., :rmax, :].reshape(-1, n), nd
     )                                                          # [R, P, N]
 
@@ -82,9 +82,9 @@ def mxu_glwe_product(
     prod = _vmp_fn(n, t.basis.primes, kdim, mdim, rows_block)(a_vmp, pm)
     prod = prod[:b_tot]                                        # [B, M, P·N]
 
-    # --- inverse NTT (four-step MXU matmuls) -------------------------------
+    # --- inverse NTT (fused Pallas four-step MXU kernel) -------------------
     prod = prod.reshape(b_tot * mdim, P, n)
-    x = mxu4_ntt_inverse(t, prod)                              # [B·M, P, N]
+    x = pallas_mxu4_inverse(t, prod)                           # [B·M, P, N]
     x = jnp.moveaxis(x, -2, 0)                                 # [P, B·M, N]
 
     # --- Garner + (small at col 0) + normalize (pallas kernel B) -----------

@@ -77,3 +77,24 @@ def test_mxu4_pointwise_product_roundtrip():
             else:
                 want[k - n] -= s
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("n", [256, 512])
+def test_pallas_mxu_matches_mxu4(n):
+    """Fused Pallas MXU kernels == the XLA einsum transforms, bit-exact."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from poulpy_tpu.backends import pallas_mxu as pmx
+
+    m = get_module(n, 2)
+    t = m.tables
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.integers(-(2**16), 2**16, size=(5, n), dtype=np.int64))
+    want_f = np.asarray(m4.mxu4_ntt_forward_limbs(t, x, 3))
+    r = m4.mxu4_ntt_forward_limbs(t, x)
+    want_i = np.asarray(m4.mxu4_ntt_inverse(t, r))
+    with pltpu.force_tpu_interpret_mode():
+        got_f = np.asarray(pmx.pallas_mxu4_forward_limbs(t, x, 3, tr=4))
+        got_i = np.asarray(pmx.pallas_mxu4_inverse(t, r, tr=4))
+    np.testing.assert_array_equal(got_f, want_f)
+    np.testing.assert_array_equal(got_i, want_i)
