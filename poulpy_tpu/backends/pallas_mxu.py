@@ -191,6 +191,10 @@ def _dot8(a, b):
 
 def _kernel_fwd(n, n1, n2, primes, qinvs, nd_in, tr,
                 x_ref, ua_ref, v0_ref, tf_ref, o_ref):
+    # o_ref: [Tr, P, n2, n1] — row axis MAJOR so Mosaic pipelines the
+    # output blocks through VMEM (a full leading P axis with the grid dim
+    # inner forces the whole result into scoped VMEM → compile-time OOM at
+    # bench shapes).
     x = x_ref[...]                                   # [Tr, n2, n1]
     xt = jnp.swapaxes(x, 1, 2)                       # [Tr, n1, n2]
     planes = _digit_planes(xt, nd_in)
@@ -209,14 +213,15 @@ def _kernel_fwd(n, n1, n2, primes, qinvs, nd_in, tr,
         pb = _dot8(lhs_b, v0_ref[pi])                # [Tr·n2, 4·n1]
         pbs = [pb[:, d * n1 : (d + 1) * n1].reshape(tr, n2, n1)
                for d in range(NDIG)]
-        o_ref[pi] = _assemble_redc(*pbs, p, qinv)    # [Tr, k2, k1]
+        o_ref[:, pi] = _assemble_redc(*pbs, p, qinv)  # [Tr, k2, k1]
 
 
 def _kernel_inv(n, n1, n2, primes, qinvs, tr,
                 y_ref, wa_ref, w0_ref, ti_ref, o_ref):
+    # y_ref/o_ref: [Tr, P, n2, n1] — row-major blocks (see _kernel_fwd).
     for pi, p in enumerate(primes):
         qinv = qinvs[pi]
-        y = y_ref[pi]                                # [Tr, k2, k1]
+        y = y_ref[:, pi]                             # [Tr, k2, k1]
         planes = _digit_planes(y, NDIG)
         lhs_a = jnp.concatenate(planes, axis=-1).reshape(tr * n2, NDIG * n1)
         pa = _dot8(lhs_a, wa_ref[pi])                # [Tr·k2, 4·n1]
@@ -231,7 +236,7 @@ def _kernel_inv(n, n1, n2, primes, qinvs, tr,
         pbs = [pb[:, d * n2 : (d + 1) * n2].reshape(tr, n1, n2)
                for d in range(NDIG)]
         xx = _assemble_redc(*pbs, p, qinv)           # [Tr, n1, n2]
-        o_ref[pi] = jnp.swapaxes(xx, 1, 2)           # [Tr, n2, n1]
+        o_ref[:, pi] = jnp.swapaxes(xx, 1, 2)        # [Tr, n2, n1]
 
 
 @functools.lru_cache(maxsize=None)
@@ -244,7 +249,7 @@ def _fwd_fn(n: int, primes: tuple[int, ...], nd_in: int, tr: int):
         _kernel_fwd, n, n1, n2, primes, qinvs, nd_in, tr
     )
 
-    def fn(x):  # [Rows, N] i32 limbs → [P, Rows, N] i32 σ-order residues
+    def fn(x):  # [Rows, N] i32 limbs → [Rows, P, N] i32 σ-order residues
         rows = x.shape[0]
         grid = (rows // tr,)
         x = x.reshape(rows, n2, n1)
@@ -265,13 +270,16 @@ def _fwd_fn(n: int, primes: tuple[int, ...], nd_in: int, tr: int):
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (P, tr, n2, n1), lambda bi: (0, bi, 0, 0),
+                    (tr, P, n2, n1), lambda bi: (bi, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                out_shape=jax.ShapeDtypeStruct((P, rows, n2, n1), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((rows, P, n2, n1), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
             )(x, jnp.asarray(tabs["ua"]), jnp.asarray(tabs["v0"]),
               jnp.asarray(tabs["tf"]))
-        return out.reshape(P, rows, n)
+        return out.reshape(rows, P, n)
 
     return fn
 
@@ -284,16 +292,16 @@ def _inv_fn(n: int, primes: tuple[int, ...], tr: int):
     tabs = _host_tables_mxu(primes, n)
     kernel = functools.partial(_kernel_inv, n, n1, n2, primes, qinvs, tr)
 
-    def fn(y):  # [P, Rows, N] σ-order residues → [P, Rows, N] coefficients
-        rows = y.shape[1]
+    def fn(y):  # [Rows, P, N] σ-order residues → [Rows, P, N] coefficients
+        rows = y.shape[0]
         grid = (rows // tr,)
-        y = y.reshape(P, rows, n2, n1)
+        y = y.reshape(rows, P, n2, n1)
         with jax.enable_x64(False):
             out = pl.pallas_call(
                 kernel,
                 grid=grid,
                 in_specs=[
-                    pl.BlockSpec((P, tr, n2, n1), lambda bi: (0, bi, 0, 0),
+                    pl.BlockSpec((tr, P, n2, n1), lambda bi: (bi, 0, 0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((P, NDIG * n1, NDIG * n1),
                                  lambda bi: (0, 0, 0),
@@ -305,13 +313,16 @@ def _inv_fn(n: int, primes: tuple[int, ...], tr: int):
                                  memory_space=pltpu.VMEM),
                 ],
                 out_specs=pl.BlockSpec(
-                    (P, tr, n2, n1), lambda bi: (0, bi, 0, 0),
+                    (tr, P, n2, n1), lambda bi: (bi, 0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                out_shape=jax.ShapeDtypeStruct((P, rows, n2, n1), jnp.int32),
+                out_shape=jax.ShapeDtypeStruct((rows, P, n2, n1), jnp.int32),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
             )(y, jnp.asarray(tabs["wa"]), jnp.asarray(tabs["w0"]),
               jnp.asarray(tabs["ti"]))
-        return out.reshape(P, rows, n)
+        return out.reshape(rows, P, n)
 
     return fn
 
@@ -332,9 +343,8 @@ def pallas_mxu4_forward_limbs(t: NttTables, x, nd_in: int = NDIG,
     pad = (-rows) % tr
     if pad:
         xm = jnp.pad(xm, ((0, pad), (0, 0)))
-    out = _fwd_fn(n, t.basis.primes, nd_in, tr)(xm)   # [P, rows', N]
-    out = jnp.moveaxis(out, 0, 1)[:rows]
-    return out.reshape(lead + (P, n))
+    out = _fwd_fn(n, t.basis.primes, nd_in, tr)(xm)   # [rows', P, N]
+    return out[:rows].reshape(lead + (P, n))
 
 
 def pallas_mxu4_inverse(t: NttTables, y, tr: int = 32):
@@ -348,6 +358,5 @@ def pallas_mxu4_inverse(t: NttTables, y, tr: int = 32):
     pad = (-rows) % tr
     if pad:
         ym = jnp.pad(ym, ((0, pad), (0, 0), (0, 0)))
-    out = _inv_fn(n, t.basis.primes, tr)(jnp.moveaxis(ym, 1, 0))
-    out = jnp.moveaxis(out, 0, 1)[:rows]
-    return out.reshape(lead + (P, n))
+    out = _inv_fn(n, t.basis.primes, tr)(ym)          # [rows', P, N]
+    return out[:rows].reshape(lead + (P, n))

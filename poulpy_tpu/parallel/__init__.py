@@ -10,7 +10,12 @@ collectives ride ICI exactly once per keyswitch/external product.
 """
 
 from poulpy_tpu.parallel.mesh import make_mesh  # noqa: F401
+from poulpy_tpu.parallel.multihost import (  # noqa: F401
+    initialize_multihost,
+    make_hybrid_mesh,
+)
 from poulpy_tpu.parallel.sharded import (  # noqa: F401
     shard_batch,
     sharded_external_product_fn,
+    sharded_gate_bootstrap_fn,
 )

@@ -1,0 +1,89 @@
+"""Multi-host (pod-slice) initialization and hybrid DCN×ICI meshes.
+
+The reference is a single-process CPU library (SURVEY.md §2.8); scaling a
+TPU pod slice across hosts is new, TPU-native territory.  The design
+follows the standard JAX multi-controller recipe:
+
+* every host runs the SAME program; `jax.distributed.initialize()` wires
+  the controllers together (coordinator address + process ids come from
+  the TPU environment automatically on Cloud TPU, or explicitly for
+  manual/DCN deployments);
+* after init, `jax.devices()` is the GLOBAL device list and mesh axes may
+  span hosts.  Axes that cross host boundaries ride DCN; axes within a
+  host ride ICI — so the mesh must be built host-outer / chip-inner.
+
+Axis placement for the poulpy workloads (BENCH_NOTES throughput model):
+
+* `dp` (ciphertext batch) — the embarrassingly-parallel axis: zero
+  collectives, so it is the ONLY axis that should span DCN.  Gate
+  bootstrapping / external-product batches scale linearly with hosts.
+* `tp` (CRT primes) — one all_gather per inverse transform: keep on ICI.
+* `sp` (ring degree N) — all_to_all per NTT stage: strictly ICI.
+
+`make_hybrid_mesh` encodes exactly that: dp = (n_hosts × leftover chips),
+tp/sp inner, chips-within-host minor so collectives over tp/sp never
+leave the ICI domain.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+
+def initialize_multihost(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Wire up the multi-controller runtime (idempotent).
+
+    On Cloud TPU pod slices all three arguments resolve from the metadata
+    environment; pass them explicitly only for manual DCN deployments.
+    Must run before any other jax call on every host.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError):
+        # single-process environment (tests, one-host dev): nothing to do
+        pass
+
+
+def make_hybrid_mesh(tp: int = 1, sp: int = 1):
+    """(dp, tp, sp) mesh over all global devices, DCN-aware.
+
+    tp·sp must divide the per-host device count so those axes stay on ICI;
+    dp absorbs everything else (hosts × leftover chips).  Single-host (and
+    the CPU virtual-device test mesh) degenerates to a plain mesh with the
+    same axis layout.
+    """
+    devs = jax.devices()
+    n_local = len([d for d in devs if d.process_index == devs[0].process_index])
+    n_hosts = max(1, len(devs) // max(n_local, 1))
+    inner = tp * sp
+    if n_local % inner != 0:
+        raise ValueError(
+            f"tp*sp={inner} must divide per-host device count {n_local} "
+            "(tp/sp collectives must stay on ICI)"
+        )
+    if n_hosts > 1:
+        from jax.experimental import mesh_utils
+
+        # host axis outer-most → only dp crosses DCN
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(n_local // inner, tp, sp),
+            dcn_mesh_shape=(n_hosts, 1, 1),
+            devices=devs,
+        )
+    else:
+        arr = np.asarray(devs).reshape(len(devs) // inner, tp, sp)
+    return jax.sharding.Mesh(arr, ("dp", "tp", "sp"))

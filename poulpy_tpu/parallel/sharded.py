@@ -99,6 +99,44 @@ def sharded_external_product_fn(
     return jax.jit(fn)
 
 
+def sharded_gate_bootstrap_fn(keys, mesh, gate: str = "nand"):
+    """dp-sharded batched gate bootstrapping — the pod-slice scale-out axis.
+
+    Gate bootstrapping is embarrassingly parallel over the ciphertext batch
+    (each bootstrap touches only its own LWE), so the idiomatic TPU mapping
+    is pure data parallelism: the batch axis of both LWE inputs shards over
+    `dp`, every key tensor (BRK pmats, switching key, LUT, x-power table)
+    replicates, and XLA's SPMD partitioner splits the whole blind-rotation
+    scan per device with zero collectives.  Aggregate throughput is
+    bootstraps/s/chip × n_devices (ROADMAP scale-out item; the reference has
+    no distributed layer, SURVEY.md §2.8).
+
+    `keys`: binfhe.gates.BootstrapKeys.  Returns
+    fn(c1_data [B, size, n_lwe+1], c2_data like) → [B, size, n_lwe+1], with
+    B divisible by the mesh's dp extent; bit-exact vs the single-device gate.
+    """
+    from poulpy_tpu.binfhe import gates
+    from poulpy_tpu.core.layouts import LWECiphertext
+
+    gate_fn = {
+        "nand": gates.gate_nand,
+        "and": gates.gate_and,
+        "or": gates.gate_or,
+        "nor": gates.gate_nor,
+        "xor": gates.gate_xor,
+        "xnor": gates.gate_xnor,
+    }[gate]
+    params = keys.params
+    dp = NamedSharding(mesh, P("dp"))
+
+    def fn(c1_data, c2_data):
+        c1 = LWECiphertext(data=c1_data, base2k=params.base2k, k=params.k_ct)
+        c2 = c1.replace(data=c2_data)
+        return gate_fn(keys, c1, c2).data
+
+    return jax.jit(fn, in_shardings=(dp, dp), out_shardings=dp)
+
+
 def sharded_external_product_ring_fn(
     module: Module,
     mesh,

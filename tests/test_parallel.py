@@ -108,6 +108,36 @@ def test_sharded_ring_external_product_matches():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_gate_bootstrap_matches():
+    """dp-sharded batched NAND bootstrap == single-device, bit-exact."""
+    from poulpy_tpu.binfhe import gates
+    from poulpy_tpu.hal.source import Source as Src
+    from poulpy_tpu.parallel.sharded import sharded_gate_bootstrap_fn
+
+    params = gates.GateParams(
+        n_glwe=64, n_lwe=16, base2k=17, k_ct=34, k_brk=68,
+        dnum_brk=4, k_ksk=51, dnum_ksk=2, nprimes=4,
+    )
+    keys, sk = gates.keygen(params)
+    xe, xa = Src(b"\x05" * 32), Src(b"\x06" * 32)
+    rng = np.random.default_rng(7)
+    b1 = rng.integers(0, 2, size=16)
+    b2 = rng.integers(0, 2, size=16)
+    c1 = gates.encrypt_bit(params, b1, sk, xe, xa)
+    c2 = gates.encrypt_bit(params, b2, sk, xe, xa)
+
+    want = gates.gate_nand(keys, c1, c2)
+    assert np.array_equal(
+        gates.decrypt_bit(want, sk), 1 - (b1 & b2)
+    )
+
+    mesh = make_mesh(8, tp=1)
+    fn = sharded_gate_bootstrap_fn(keys, mesh, "nand")
+    have = fn(shard_batch(mesh, c1.data), shard_batch(mesh, c2.data))
+    assert np.array_equal(np.asarray(have), np.asarray(want.data))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_ntt_matches_single_device():
     """N-sharded NTT with all_to_all stage exchange == single-device NTT."""
     from jax.sharding import PartitionSpec as P
