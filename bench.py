@@ -44,12 +44,15 @@ K_CT = 51
 K_KEY = 68
 DNUM = 3
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))
-NPRIMES = 2  # 2·30-bit primes cover N=2048, base2k=17 exactly (primes.py)
+NPRIMES = 2      # 2 primes cover N=2048, base2k=17 exactly (primes.py)
+PRIME_BITS = int(os.environ.get("BENCH_PRIME_BITS", "28"))
+# < 2^28 primes keep the exact range (2^56 ≫ 2^48 needed) and enable the
+# Pallas lazy-reduction fast path (backends/pallas_ntt.py)
 
 
 def main():
     dev = jax.devices()[0]
-    m = get_module(N, NPRIMES)
+    m = get_module(N, NPRIMES, PRIME_BITS)
     src = Source(bytes(32))
     xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
     sk = enc.secret_new(m, 1, src)

@@ -37,3 +37,15 @@ def use_fused() -> bool:
     if os.environ.get("POULPY_TPU_FUSED") == "0":
         return False
     return use_pallas()
+
+
+@functools.lru_cache(maxsize=1)
+def use_fused_mxu() -> bool:
+    """MXU-transform mega-kernels (pallas_fused_mxu.py): the four-step
+    matmul NTTs fused into the same single-kernel pipeline so the transform
+    FLOPs run on the systolic array.  Opt-in (POULPY_TPU_FUSED_MXU=1):
+    measured 27.4k ext-products/s at the N=2048 headline config vs 51k+ for
+    the VPU mega-kernel — the digitize/assemble/transpose epilogues around
+    each int8 matmul stage outweigh the systolic transform gain at P=2
+    primes (BENCH_NOTES.md 2026-08-19)."""
+    return os.environ.get("POULPY_TPU_FUSED_MXU") == "1"

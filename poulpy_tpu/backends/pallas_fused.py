@@ -42,9 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from poulpy_tpu.backends.pallas_ntt import (
     _add_mod,
+    _csub,
     _stage_twiddles,
     _sub_mod,
+    lazy_ok,
     mont_mul_i32,
+    mont_mul_i32_lazy,
 )
 from poulpy_tpu.hal.module import Module
 from poulpy_tpu.hal.primes import R, PrimeBasis
@@ -128,24 +131,129 @@ def _mul_d30_w64(d, w: int):
 
 
 # ---------------------------------------------------------------------------
+# Shared in-kernel tail: Garner CRT lift → centering → bit-window normalize
+# (the big-accumulator exit, reference/fft64/vec_znx_big.rs:241-278; used by
+# the VPU mega-kernel, kernel B, and the MXU mega-kernel in pallas_fused_mxu)
+# ---------------------------------------------------------------------------
+
+def garner_center_pairs(ys, primes, qinvs, basis: PrimeBasis):
+    """Canonical residues per prime (list of [rows, N] i32) → centered CRT
+    value mod 2^64 as an (hi, lo) i32 pair (hal.ntt.garner_lift recurrence +
+    lexicographic M/2 centering)."""
+    P = len(primes)
+    digits = []
+    for i, p in enumerate(primes):
+        xi = ys[i]
+        for j in range(i):
+            c = int(basis.garner_pprod_mont[i, j])
+            xi = _sub_mod(
+                xi, mont_mul_i32(digits[j], jnp.int32(c), p, qinvs[i]), p
+            )
+        if i > 0:
+            xi = mont_mul_i32(
+                xi, jnp.int32(int(basis.garner_inv_mont[i])), p, qinvs[i]
+            )
+        digits.append(xi)
+
+    weights = [int(np.uint64(w.view(np.uint64)))
+               for w in basis.garner_weight_u64]
+    hi = jnp.zeros_like(digits[0])
+    lo = digits[0]                          # W_0 = 1
+    for i in range(1, P):
+        ph, plo = _mul_d30_w64(digits[i], weights[i])
+        hi, lo = _add64(hi, lo, ph, plo)
+
+    # centering: subtract M when (d_{P-1},…,d_0) >lex digits of M/2
+    gt = jnp.zeros(lo.shape, dtype=bool)
+    eq = jnp.ones(lo.shape, dtype=bool)
+    for i in range(P - 1, -1, -1):
+        hd = jnp.int32(int(basis.half_digits[i]))
+        gt = gt | (eq & (digits[i] > hd))
+        eq = eq & (digits[i] == hd)
+    m64 = basis.modulus & ((1 << 64) - 1)
+    mh = jnp.where(gt, jnp.int32(_i32c(m64 >> 32)), 0)
+    ml = jnp.where(gt, jnp.int32(_i32c(m64)), 0)
+    return _sub64(hi, lo, mh, ml)
+
+
+def normalize_windows(his, los, psize, res_size, kr, ka, offset):
+    """(hi, lo) pairs per limb (lists of [T, N]) → res_size normalized limb
+    arrays (bit-window telescoping + i32 carry scan,
+    hal.normalization.vec_znx_normalize_full with lsh = 0)."""
+    mask_kr = (1 << kr) - 1
+    accs = []
+    for i in range(res_size):
+        w = (i + 1) * kr
+        acc = None
+        for j in range(psize):
+            t = w - ((j + 1) * ka - offset)
+            if t >= kr:
+                continue                    # window provably zero
+            if t > 0:
+                piece = (los[j] & ((1 << (kr - t)) - 1)) << t
+            else:
+                piece = _shr64_lo32(his[j], los[j], -t) & mask_kr
+            acc = piece if acc is None else acc + piece
+        if acc is None:
+            acc = jnp.zeros_like(los[0])
+        accs.append(acc)
+
+    def gdig(k, v):
+        sh = 32 - k
+        return (v << sh) >> sh
+
+    out = [None] * res_size
+    if res_size == 1:
+        out[0] = gdig(kr, accs[0])
+    else:
+        x0 = gdig(kr, accs[res_size - 1])
+        cy = (accs[res_size - 1] - x0) >> kr
+        out[res_size - 1] = x0
+        for j in range(res_size - 2, 0, -1):
+            dj = gdig(kr, accs[j])
+            carry_j = (accs[j] - dj) >> kr
+            dpc = dj + cy
+            x1 = gdig(kr, dpc)
+            out[j] = x1
+            cy = carry_j + ((dpc - x1) >> kr)
+        out[0] = gdig(kr, gdig(kr, accs[0]) + cy)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # NTT stage helpers (pure i32, per-prime, scalar immediates)
 # ---------------------------------------------------------------------------
 
-def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index):
-    """Forward Cooley–Tukey stages on [rows, N] for one prime (scalar p)."""
+def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False):
+    """Forward Cooley–Tukey stages on [rows, N] for one prime (scalar p).
+
+    lazy=True (p < 2^28): x carried in [0, 2p) with one csub per stage
+    (Harvey butterflies); the RESULT is also in [0, 2p) — callers reduce
+    where canonical values are required."""
     for s in range(logn):
         half = n >> (s + 1)
         w = wref[s, stage_index]
         mask = (lane & (2 * half - 1)) < half
-        y = mont_mul_i32(x, w, p, qinv)
-        lo_new = _add_mod(x, pltpu.roll(y, jnp.int32(n - half), axis=1), p)
-        hi_new = _sub_mod(pltpu.roll(x, jnp.int32(half), axis=1), y, p)
-        x = jnp.where(mask, lo_new, hi_new)
+        if lazy:
+            y = mont_mul_i32_lazy(x, w, p, qinv)
+            lo_new = x + pltpu.roll(y, jnp.int32(n - half), axis=1)
+            hi_new = pltpu.roll(x, jnp.int32(half), axis=1) - y + 2 * p
+            x = _csub(jnp.where(mask, lo_new, hi_new), 2 * p)
+        else:
+            y = mont_mul_i32(x, w, p, qinv)
+            lo_new = _add_mod(
+                x, pltpu.roll(y, jnp.int32(n - half), axis=1), p
+            )
+            hi_new = _sub_mod(pltpu.roll(x, jnp.int32(half), axis=1), y, p)
+            x = jnp.where(mask, lo_new, hi_new)
     return x
 
 
-def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index):
-    """Inverse Gentleman–Sande stages + N^{-1} scale, one prime."""
+def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index,
+               lazy=False):
+    """Inverse Gentleman–Sande stages + N^{-1} scale, one prime.
+
+    lazy=True accepts x in [0, 2p) and returns canonical [0, p)."""
     for si in range(logn):
         s = logn - 1 - si
         half = n >> (s + 1)
@@ -156,11 +264,31 @@ def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index):
             pltpu.roll(x, jnp.int32(n - half), axis=1),
             pltpu.roll(x, jnp.int32(half), axis=1),
         )
-        u = _add_mod(x, partner, p)
-        d_hi = _sub_mod(partner, x, p)
-        v = mont_mul_i32(d_hi, w, p, qinv)
-        x = jnp.where(mask, u, v)
+        if lazy:
+            u = x + partner                              # [0, 4p)
+            v = mont_mul_i32_lazy(partner - x + 2 * p, w, p, qinv)
+            x = _csub(jnp.where(mask, u, v), 2 * p)
+        else:
+            u = _add_mod(x, partner, p)
+            d_hi = _sub_mod(partner, x, p)
+            v = mont_mul_i32(d_hi, w, p, qinv)
+            x = jnp.where(mask, u, v)
+    if lazy:
+        return _csub(
+            mont_mul_i32_lazy(x, jnp.int32(ninv_mont), p, qinv), p
+        )
     return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
+
+
+def _lazy_reduce(x, bound: int, p: int, target: int):
+    """csub chain bringing a value known < `bound` down to < `target`
+    (target a small multiple of p).  Static bound arithmetic — the chain is
+    unrolled at trace time."""
+    while bound > target:
+        t = 1 << max(0, (bound // p).bit_length() - 2)
+        x = _csub(x, t * p)
+        bound = max(t * p, bound - t * p)
+    return x
 
 
 # ---------------------------------------------------------------------------
@@ -188,70 +316,81 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
     P = len(primes)
     kk = cols * rmax
     mdim = co * psize
+    lazy = lazy_ok(primes)
+    i32_cap = 1 << 31
     x = a_ref[...]                          # [T·cols·size_a, N] small limbs
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
 
     ys = []
     for pi, p in enumerate(primes):
         qinv = qinvs[pi]
-        # residues: |x| < 2^29 < p ⇒ one conditional add + one csub
-        r = jnp.where(x < 0, x + jnp.int32(2 * p), x)
-        r = jnp.where(r >= p, r - p, r)
-        r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi)
+        if lazy:
+            # residues: |x| < 2^29 ⇒ shift by a p-multiple ≥ 2^29 to make
+            # non-negative, then csub chain (NTT entry only needs [0, 2p))
+            shift = 4 * p
+            while shift < (1 << 29):
+                shift *= 2
+            r = _lazy_reduce(x + jnp.int32(shift), (1 << 29) + shift,
+                             p, 2 * p)
+        else:
+            # residues: |x| < 2^29 < 2p ⇒ one conditional add + one csub
+            r = jnp.where(x < 0, x + jnp.int32(2 * p), x)
+            r = jnp.where(r >= p, r - p, r)
+        r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi, lazy)
         r4 = r.reshape(t_tile, cols, size_a, n)[:, :, :rmax, :]
-        r4 = r4.reshape(t_tile, kk, n)
+        r4 = r4.reshape(t_tile, kk, n)      # [0, 2p) when lazy else [0, p)
         add = None
+        add_b = 0                           # static value bound (lazy mode)
         for bi in range(block):
             acc = None
+            acc_b = 0
             for k in range(kk):
-                term = mont_mul_i32(
-                    r4[:, k, :][:, None, :], pm_ref[pi, bi, k][None, :, :],
-                    p, qinv,
-                )                           # [T, M, N]
-                acc = term if acc is None else _add_mod(acc, term, p)
+                ak = r4[:, k, :][:, None, :]
+                bk = pm_ref[pi, bi, k][None, :, :]
+                if lazy:
+                    term = mont_mul_i32_lazy(ak, bk, p, qinv)    # < 2p
+                    if acc is None:
+                        acc, acc_b = term, 2 * p
+                    else:
+                        if acc_b + 2 * p >= i32_cap:
+                            acc = _lazy_reduce(acc, acc_b, p, 2 * p)
+                            acc_b = 2 * p
+                        acc = acc + term
+                        acc_b += 2 * p
+                else:
+                    term = mont_mul_i32(ak, bk, p, qinv)         # [T, M, N]
+                    acc = term if acc is None else _add_mod(acc, term, p)
             if rotate:
                 xp = xp_ref[pi, bi]         # [T, N] Montgomery X^{a_i}
-                rot = mont_mul_i32(acc, xp[:, None, :], p, qinv)
-                acc = _sub_mod(rot, acc, p)
-            add = acc if add is None else _add_mod(add, acc, p)
+                if lazy:
+                    acc = _lazy_reduce(acc, acc_b, p, 2 * p)
+                    rot = mont_mul_i32_lazy(acc, xp[:, None, :], p, qinv)
+                    acc = rot - acc + jnp.int32(2 * p)           # (0, 4p)
+                    acc_b = 4 * p
+                else:
+                    rot = mont_mul_i32(acc, xp[:, None, :], p, qinv)
+                    acc = _sub_mod(rot, acc, p)
+            if add is None:
+                add, add_b = acc, acc_b
+            elif lazy:
+                if add_b + acc_b >= i32_cap:
+                    add = _lazy_reduce(add, add_b, p, 2 * p)
+                    add_b = 2 * p
+                if add_b + acc_b >= i32_cap:
+                    acc = _lazy_reduce(acc, acc_b, p, 2 * p)
+                    acc_b = 2 * p
+                add = add + acc
+                add_b += acc_b
+            else:
+                add = _add_mod(add, acc, p)
+        if lazy:
+            add = _lazy_reduce(add, add_b, p, 2 * p)
         y = add.reshape(t_tile * mdim, n)
         lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
         ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
-                             ninvs[pi], pi))
+                             ninvs[pi], pi, lazy))
 
-    # --- Garner mixed-radix digits (hal.ntt.garner_lift) --------------------
-    digits = []
-    for i, p in enumerate(primes):
-        xi = ys[i]                          # [T·M, N]
-        for j in range(i):
-            c = int(basis.garner_pprod_mont[i, j])
-            xi = _sub_mod(
-                xi, mont_mul_i32(digits[j], jnp.int32(c), p, qinvs[i]), p
-            )
-        if i > 0:
-            xi = mont_mul_i32(
-                xi, jnp.int32(int(basis.garner_inv_mont[i])), p, qinvs[i]
-            )
-        digits.append(xi)
-
-    weights = [int(np.uint64(w.view(np.uint64)))
-               for w in basis.garner_weight_u64]
-    hi = jnp.zeros_like(digits[0])
-    lo = digits[0]                          # W_0 = 1
-    for i in range(1, P):
-        ph, plo = _mul_d30_w64(digits[i], weights[i])
-        hi, lo = _add64(hi, lo, ph, plo)
-
-    gt = jnp.zeros(lo.shape, dtype=bool)
-    eq = jnp.ones(lo.shape, dtype=bool)
-    for i in range(P - 1, -1, -1):
-        hd = jnp.int32(int(basis.half_digits[i]))
-        gt = gt | (eq & (digits[i] > hd))
-        eq = eq & (digits[i] == hd)
-    m64 = basis.modulus & ((1 << 64) - 1)
-    mh = jnp.where(gt, jnp.int32(_i32c(m64 >> 32)), 0)
-    ml = jnp.where(gt, jnp.int32(_i32c(m64)), 0)
-    hi, lo = _sub64(hi, lo, mh, ml)
+    hi, lo = garner_center_pairs(ys, primes, qinvs, basis)  # [T·M, N]
 
     hi = hi.reshape(t_tile, co, psize, n)
     lo = lo.reshape(t_tile, co, psize, n)
@@ -273,46 +412,11 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
             his[0][j], los[0][j] = _add64(his[0][j], los[0][j], sj >> 31, sj)
 
     # --- bit-window telescoping + i32 carry scan (per output column) -------
-    mask_kr = (1 << kr) - 1
-
-    def gdig(k, v):
-        sh = 32 - k
-        return (v << sh) >> sh
-
     out_rows = []
     for c in range(co):
-        accs = []
-        for i in range(res_size):
-            w = (i + 1) * kr
-            acc = None
-            for j in range(psize):
-                t = w - ((j + 1) * ka - offset)
-                if t >= kr:
-                    continue
-                if t > 0:
-                    piece = (los[c][j] & ((1 << (kr - t)) - 1)) << t
-                else:
-                    piece = _shr64_lo32(his[c][j], los[c][j], -t) & mask_kr
-                acc = piece if acc is None else acc + piece
-            if acc is None:
-                acc = jnp.zeros_like(los[0][0])
-            accs.append(acc)
-        out = [None] * res_size
-        if res_size == 1:
-            out[0] = gdig(kr, accs[0])
-        else:
-            x0 = gdig(kr, accs[res_size - 1])
-            cy = (accs[res_size - 1] - x0) >> kr
-            out[res_size - 1] = x0
-            for j in range(res_size - 2, 0, -1):
-                dj = gdig(kr, accs[j])
-                carry_j = (accs[j] - dj) >> kr
-                dpc = dj + cy
-                x1 = gdig(kr, dpc)
-                out[j] = x1
-                cy = carry_j + ((dpc - x1) >> kr)
-            out[0] = gdig(kr, gdig(kr, accs[0]) + cy)
-        out_rows.extend(out)
+        out_rows.extend(
+            normalize_windows(his[c], los[c], psize, res_size, kr, ka, offset)
+        )
     o_ref[...] = jnp.stack(out_rows, axis=1).reshape(
         t_tile * co * res_size, n
     )
@@ -400,41 +504,9 @@ def _kernel_b(primes, basis: PrimeBasis, psize, s_size, res_size,
     n = x_ref.shape[-1]
     qinvs = [(-pow(p, -1, R)) % R for p in primes]
 
-    # --- Garner mixed-radix digits (hal.ntt.garner_lift, same recurrence) --
-    digits = []
-    for i, p in enumerate(primes):
-        xi = x_ref[i]                       # [Tb·psize, N]
-        for j in range(i):
-            c = int(basis.garner_pprod_mont[i, j])
-            xi = _sub_mod(
-                xi, mont_mul_i32(digits[j], jnp.int32(c), p, qinvs[i]), p
-            )
-        if i > 0:
-            xi = mont_mul_i32(
-                xi, jnp.int32(int(basis.garner_inv_mont[i])), p, qinvs[i]
-            )
-        digits.append(xi)
-
-    # --- V = Σ d_i · W_i mod 2^64 as (hi, lo) pairs ------------------------
-    weights = [int(np.uint64(w.view(np.uint64)))
-               for w in basis.garner_weight_u64]
-    hi = jnp.zeros_like(digits[0])
-    lo = digits[0]                          # W_0 = 1
-    for i in range(1, P):
-        ph, plo = _mul_d30_w64(digits[i], weights[i])
-        hi, lo = _add64(hi, lo, ph, plo)
-
-    # --- centering: subtract M when (d_{P-1},…,d_0) >lex digits of M/2 -----
-    gt = jnp.zeros(lo.shape, dtype=bool)
-    eq = jnp.ones(lo.shape, dtype=bool)
-    for i in range(P - 1, -1, -1):
-        hd = jnp.int32(int(basis.half_digits[i]))
-        gt = gt | (eq & (digits[i] > hd))
-        eq = eq & (digits[i] == hd)
-    m64 = basis.modulus & ((1 << 64) - 1)
-    mh = jnp.where(gt, jnp.int32(_i32c(m64 >> 32)), 0)
-    ml = jnp.where(gt, jnp.int32(_i32c(m64)), 0)
-    hi, lo = _sub64(hi, lo, mh, ml)
+    hi, lo = garner_center_pairs(
+        [x_ref[i] for i in range(P)], primes, qinvs, basis
+    )                                       # [Tb·psize, N]
 
     his = [hi.reshape(tb, psize, n)[:, j, :] for j in range(psize)]
     los = [lo.reshape(tb, psize, n)[:, j, :] for j in range(psize)]
@@ -446,46 +518,7 @@ def _kernel_b(primes, basis: PrimeBasis, psize, s_size, res_size,
             sj = sm[:, j, :]
             his[j], los[j] = _add64(his[j], los[j], sj >> 31, sj)
 
-    # --- bit-window telescoping (hal.normalization.vec_znx_normalize_full):
-    # window(V_j, t, kr) ∈ [0, 2^kr) needs only 32 bits of the funnel shift.
-    mask_kr = (1 << kr) - 1
-    accs = []
-    for i in range(res_size):
-        w = (i + 1) * kr
-        acc = None
-        for j in range(psize):
-            t = w - ((j + 1) * ka - offset)
-            if t >= kr:
-                continue                    # window provably zero
-            if t > 0:
-                piece = (los[j] & ((1 << (kr - t)) - 1)) << t
-            else:
-                piece = _shr64_lo32(his[j], los[j], -t) & mask_kr
-            acc = piece if acc is None else acc + piece
-        if acc is None:
-            acc = jnp.zeros_like(los[0])
-        accs.append(acc)
-
-    # --- i32 carry scan (hal.normalization.vec_znx_normalize, lsh = 0) -----
-    def gdig(k, x):
-        sh = 32 - k
-        return (x << sh) >> sh
-
-    out = [None] * res_size
-    if res_size == 1:
-        out[0] = gdig(kr, accs[0])
-    else:
-        x0 = gdig(kr, accs[res_size - 1])
-        c = (accs[res_size - 1] - x0) >> kr
-        out[res_size - 1] = x0
-        for j in range(res_size - 2, 0, -1):
-            dj = gdig(kr, accs[j])
-            carry_j = (accs[j] - dj) >> kr
-            dpc = dj + c
-            x1 = gdig(kr, dpc)
-            out[j] = x1
-            c = carry_j + ((dpc - x1) >> kr)
-        out[0] = gdig(kr, gdig(kr, accs[0]) + c)
+    out = normalize_windows(his, los, psize, res_size, kr, ka, offset)
     o_ref[...] = jnp.stack(out, axis=1).reshape(tb * res_size, n)
 
 

@@ -80,6 +80,55 @@ def _sub_mod(a, b, p):
     return jnp.where(d < 0, d + p, d)
 
 
+# ---------------------------------------------------------------------------
+# Lazy-reduction variants (Harvey butterflies): for primes p < 2^28 values
+# are carried in [0, 2p) between stages — one conditional subtract per
+# butterfly instead of three (mont csub + add_mod + sub_mod).  Bounds:
+#   mont_mul_i32_lazy(a < 4p, b < p) < p + 4p·p/2^30 < 2p     (p < 2^28)
+#   butterfly sums < 4p < 2^30, so every intermediate stays i32
+# The final stage fully reduces to [0, p), so outputs remain bit-exact vs
+# the strict path.
+# ---------------------------------------------------------------------------
+
+LAZY_PRIME_BOUND = 1 << 28
+
+
+def lazy_ok(primes) -> bool:
+    return max(primes) < LAZY_PRIME_BOUND
+
+
+def mont_mul_i32_lazy(a, b, p, qinv30):
+    """REDC_{2^30}(a·b) in [0, 2p), for 0 ≤ a < min(4p, 2^30), 0 ≤ b < p,
+    p < 2^28 (skips the canonicalizing subtract of mont_mul_i32)."""
+    a0 = a & MASK15
+    a1 = a >> 15
+    b0 = b & MASK15
+    b1 = b >> 15
+    p00 = a0 * b0
+    mid = a0 * b1 + a1 * b0
+    p11 = a1 * b1
+    t0f = p00 + ((mid & MASK15) << 15)
+    t0 = t0f & MASK30
+    t1 = p11 + (mid >> 15) + (t0f >> 30)
+    m = _mul_lo30(t0, qinv30)
+    m0 = m & MASK15
+    m1 = m >> 15
+    q0 = p & MASK15
+    q1 = p >> 15
+    mp00 = m0 * q0
+    mpmid = m0 * q1 + m1 * q0
+    mp11 = m1 * q1
+    mp0f = mp00 + ((mpmid & MASK15) << 15)
+    mp1 = mp11 + (mpmid >> 15) + (mp0f >> 30)
+    s0f = t0 + (mp0f & MASK30)
+    return t1 + mp1 + (s0f >> 30)
+
+
+def _csub(x, m):
+    """x − m if x ≥ m else x (one conditional subtract)."""
+    return jnp.where(x >= m, x - m, x)
+
+
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(primes: tuple[int, ...], n: int, inverse: bool,
                     rows_block: int):
@@ -113,7 +162,7 @@ def _row_consts(vals: np.ndarray, rows_block: int) -> np.ndarray:
     return np.tile(vals.astype(np.int32), rows_block // P)[:, None]
 
 
-def _ntt_kernel(logn: int, inverse: bool,
+def _ntt_kernel(logn: int, inverse: bool, lazy: bool,
                 x_ref, w_ref, p_ref, qinv_ref, ninv_ref, o_ref):
     n = x_ref.shape[-1]
     x = x_ref[...]                       # [rows_block, N], prime = row % P
@@ -126,10 +175,21 @@ def _ntt_kernel(logn: int, inverse: bool,
             half = n >> (s + 1)
             w = w_ref[s]                 # [rows_block, N]
             mask = (lane & (2 * half - 1)) < half
-            y = mont_mul_i32(x, w, p, qinv)
-            lo_new = _add_mod(x, pltpu.roll(y, jnp.int32(n - half), axis=1), p)
-            hi_new = _sub_mod(pltpu.roll(x, jnp.int32(half), axis=1), y, p)
-            x = jnp.where(mask, lo_new, hi_new)
+            if lazy:
+                # x ∈ [0, 2p): y < 2p, lo/hi ∈ [0, 4p) → one csub back
+                y = mont_mul_i32_lazy(x, w, p, qinv)
+                lo_new = x + pltpu.roll(y, jnp.int32(n - half), axis=1)
+                hi_new = pltpu.roll(x, jnp.int32(half), axis=1) - y + 2 * p
+                x = _csub(jnp.where(mask, lo_new, hi_new), 2 * p)
+            else:
+                y = mont_mul_i32(x, w, p, qinv)
+                lo_new = _add_mod(
+                    x, pltpu.roll(y, jnp.int32(n - half), axis=1), p
+                )
+                hi_new = _sub_mod(pltpu.roll(x, jnp.int32(half), axis=1), y, p)
+                x = jnp.where(mask, lo_new, hi_new)
+        if lazy:
+            x = _csub(x, p)              # [0, 2p) → [0, p)
     else:
         for si in range(logn):
             s = logn - 1 - si
@@ -141,11 +201,27 @@ def _ntt_kernel(logn: int, inverse: bool,
                 pltpu.roll(x, jnp.int32(n - half), axis=1),
                 pltpu.roll(x, jnp.int32(half), axis=1),
             )
-            u = _add_mod(x, partner, p)
-            d_hi = _sub_mod(partner, x, p)
-            v = mont_mul_i32(d_hi, w, p, qinv)
-            x = jnp.where(mask, u, v)
-        x = mont_mul_i32(x, jnp.broadcast_to(ninv_ref[...], x.shape), p, qinv)
+            if lazy:
+                # x ∈ [0, 2p): u ∈ [0, 4p), d ∈ (0, 4p) — both mont-safe
+                u = x + partner
+                v = mont_mul_i32_lazy(partner - x + 2 * p, w, p, qinv)
+                x = _csub(jnp.where(mask, u, v), 2 * p)
+            else:
+                u = _add_mod(x, partner, p)
+                d_hi = _sub_mod(partner, x, p)
+                v = mont_mul_i32(d_hi, w, p, qinv)
+                x = jnp.where(mask, u, v)
+        if lazy:
+            x = _csub(
+                mont_mul_i32_lazy(
+                    x, jnp.broadcast_to(ninv_ref[...], x.shape), p, qinv
+                ),
+                p,
+            )
+        else:
+            x = mont_mul_i32(
+                x, jnp.broadcast_to(ninv_ref[...], x.shape), p, qinv
+            )
     o_ref[...] = x
 
 
@@ -165,7 +241,7 @@ def ntt_fn(n: int, primes: tuple[int, ...], rows_block: int = 8,
     ninv_np = _row_consts(
         np.array([pow(n, -1, q) * R % q for q in primes]), rows_block
     )
-    kernel = functools.partial(_ntt_kernel, logn, inverse)
+    kernel = functools.partial(_ntt_kernel, logn, inverse, lazy_ok(primes))
 
     def fn(x):  # x: [M·P, N] int32, prime-folded rows (row r → prime r % P)
         m_rows = x.shape[0]

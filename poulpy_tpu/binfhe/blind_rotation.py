@@ -203,11 +203,22 @@ def blind_rotation_execute(
     def step(acc, inputs):
         a_i, pmat_i = inputs
         if use_fused:
-            from poulpy_tpu.backends.pallas_fused import fused_glwe_product
+            if _use_mxu_br(module, brk, base2k):
+                from poulpy_tpu.backends.pallas_fused_mxu import (
+                    fused_mxu_glwe_product,
+                )
 
-            tmp = fused_glwe_product(
-                module, acc, pmat_i, size, base2k, base2k
-            )
+                tmp = fused_mxu_glwe_product(
+                    module, acc, pmat_i, size, base2k, base2k
+                )
+            else:
+                from poulpy_tpu.backends.pallas_fused import (
+                    fused_glwe_product,
+                )
+
+                tmp = fused_glwe_product(
+                    module, acc, pmat_i, size, base2k, base2k
+                )
         else:
             a_dft = dft.dft_apply(module, acc)
             res_dft = dft.vmp_apply(module, a_dft, pmat_i)
@@ -237,6 +248,17 @@ def _use_fused_br(module, brk, base2k, extra_bits=0):
     return base2k + int(extra_bits + 2).bit_length() <= 29
 
 
+def _use_mxu_br(module, brk, base2k):
+    """MXU-transform variant of the fused blind-rotation kernels."""
+    from poulpy_tpu import backends
+    from poulpy_tpu.backends.pallas_fused_mxu import fused_mxu_supported
+
+    psize = brk.pmats.shape[-3]
+    return backends.use_fused_mxu() and fused_mxu_supported(
+        module, psize, base2k
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _xpow_table(n: int, primes: tuple):
     """Montgomery NTT of X^j for every j in [0, 2N): `[2N, P, N]` int32.
@@ -247,7 +269,10 @@ def _xpow_table(n: int, primes: tuple):
     """
     from poulpy_tpu.hal.module import get_module
 
-    module = get_module(n, len(primes))
+    # reconstruct the exact basis (ntt_primes is deterministic per bound;
+    # the largest prime's bit length recovers the bound)
+    module = get_module(n, len(primes), max(primes).bit_length())
+    assert module.basis.primes == tuple(primes)
     basis = jnp.eye(n, dtype=jnp.int64)
     pos = dft.svp_prepare(module, basis)       # [N, P, N]
     neg = dft.svp_prepare(module, -basis)
@@ -306,10 +331,24 @@ def blind_rotation_execute_block(
     pm_blocks = brk.pmats.reshape((nblocks, block_size) + brk.pmats.shape[1:])
 
     if _use_fused_br(module, brk, base2k):
-        from poulpy_tpu.backends.pallas_fused import (
-            fused_br_block_step,
-            pm_kernel_layout,
-        )
+        from poulpy_tpu.backends.pallas_fused import pm_kernel_layout
+
+        use_mxu = _use_mxu_br(module, brk, base2k)
+        if use_mxu:
+            from poulpy_tpu.backends.pallas_fused_mxu import (
+                _sigma_perm,
+                fused_mxu_br_block_step as br_step_fn,
+            )
+
+            # σ-permute prepared operands once (cancels against the σ-order
+            # forward/inverse transforms inside the kernel)
+            pi_sigma = jnp.asarray(_sigma_perm(module))
+            pm_blocks = pm_blocks[..., pi_sigma]
+            xpow = xpow[..., pi_sigma]
+        else:
+            from poulpy_tpu.backends.pallas_fused import (
+                fused_br_block_step as br_step_fn,
+            )
 
         rmax = min(brk.pmats.shape[-6], size)
         # pre-transpose every block's pmats into kernel layout once:
@@ -321,7 +360,7 @@ def blind_rotation_execute_block(
             a_blk, pm_blk = inputs
             apos = jnp.moveaxis(a_blk, 0, -1) & (2 * n - 1)  # [...batch, blk]
             xp = jnp.take(xpow32, apos, axis=0)   # [..., block, P, N]
-            acc = fused_br_block_step(
+            acc = br_step_fn(
                 module, acc, pm_blk, xp, size, base2k
             )
             return acc, None

@@ -46,6 +46,8 @@ class GateParams:
     k_ksk: int = 51       # GLWE→LWE switching key precision
     dnum_ksk: int = 2
     nprimes: int = 2
+    prime_bits: int = 28  # < 2^28 primes: Pallas lazy-reduction fast path;
+                          # 2 primes (56 bits) still cover the exact range
     block_size: int = 1   # > 1 selects the block-binary CGGI path
 
 
@@ -62,7 +64,7 @@ def keygen(
     params: GateParams, seed: bytes = bytes(32)
 ) -> tuple[BootstrapKeys, np.ndarray]:
     """Generate (public bootstrap keys, LWE secret)."""
-    module = Module(params.n_glwe, params.nprimes)
+    module = Module(params.n_glwe, params.nprimes, params.prime_bits)
     src = Source(seed)
     xe, xa = src.branch()[1], src.branch()[1]
     if params.block_size > 1:

@@ -55,8 +55,19 @@ def glwe_external_product(
 
             if fused_supported(module, pmat.shape[3], res_base2k):
                 from poulpy_tpu.backends.mxu_ntt import MXU_MIN_N, use_mxu
+                from poulpy_tpu.backends.pallas_fused_mxu import (
+                    fused_mxu_glwe_product,
+                    fused_mxu_supported,
+                )
 
-                if use_mxu() and module.n >= MXU_MIN_N:
+                if (backends.use_fused_mxu()
+                        and fused_mxu_supported(
+                            module, pmat.shape[3], res_base2k)):
+                    res = fused_mxu_glwe_product(
+                        module, a.data, pmat, res_size, res_base2k,
+                        ggsw.base2k,
+                    )
+                elif use_mxu() and module.n >= MXU_MIN_N:
                     from poulpy_tpu.backends.mxu_product import mxu_glwe_product
 
                     res = mxu_glwe_product(

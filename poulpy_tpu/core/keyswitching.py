@@ -87,8 +87,24 @@ def glwe_keyswitch(
 
             if fused_supported(module, key.pmat.shape[3], res_base2k):
                 from poulpy_tpu.backends.mxu_ntt import MXU_MIN_N, use_mxu
+                from poulpy_tpu.backends.pallas_fused_mxu import (
+                    fused_mxu_glwe_product,
+                    fused_mxu_supported,
+                )
 
-                if use_mxu() and module.n >= MXU_MIN_N:
+                if (backends.use_fused_mxu()
+                        and fused_mxu_supported(
+                            module, key.pmat.shape[3], res_base2k)):
+                    res = fused_mxu_glwe_product(
+                        module,
+                        a.data[..., 1:, :, :],
+                        key.pmat,
+                        res_size,
+                        res_base2k,
+                        key.base2k,
+                        small=a.data[..., 0, :, :],
+                    )
+                elif use_mxu() and module.n >= MXU_MIN_N:
                     from poulpy_tpu.backends.mxu_product import mxu_glwe_product
 
                     res = mxu_glwe_product(

@@ -25,11 +25,20 @@ class Module:
     reference benchmark configuration (N ≤ 2^16, base2k ≤ 26).
     """
 
-    def __init__(self, n: int, nprimes: int = 4):
+    def __init__(self, n: int, nprimes: int = 4, prime_bits: int = 30):
+        """`prime_bits` bounds the basis primes below 2^prime_bits.
+
+        30 (default) maximizes bits-per-prime; 28 trades ~7% modulus bits
+        for the Pallas kernels' lazy-reduction fast path (values carried in
+        [0, 2p) ⊂ [0, 2^29), one conditional subtract per butterfly —
+        backends/pallas_ntt.py).  Validity asserts adapt automatically via
+        `basis.modulus`.
+        """
         assert n & (n - 1) == 0 and 4 <= n <= (1 << LOG_N_MAX)
+        assert 18 <= prime_bits <= 30
         self.n = n
         self.log_n = n.bit_length() - 1
-        self.basis = PrimeBasis(ntt_primes(nprimes))
+        self.basis = PrimeBasis(ntt_primes(nprimes, below=1 << prime_bits))
         self.tables = NttTables(self.basis, n)
 
     @property
@@ -59,5 +68,5 @@ class Module:
 
 
 @functools.lru_cache(maxsize=None)
-def get_module(n: int, nprimes: int = 4) -> Module:
-    return Module(n, nprimes)
+def get_module(n: int, nprimes: int = 4, prime_bits: int = 30) -> Module:
+    return Module(n, nprimes, prime_bits)

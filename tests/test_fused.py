@@ -77,7 +77,7 @@ def test_garner_normalize_kernel(nprimes, psize, res_size, kr, ka, offset, s_siz
     assert np.array_equal(np.asarray(have), np.asarray(want))
 
 
-@pytest.mark.parametrize("nprimes", [2, 4])
+@pytest.mark.parametrize("nprimes,prime_bits", [(2, 30), (4, 30), (2, 28)])
 @pytest.mark.parametrize(
     "ci,co,rows,size_a,psize,batch",
     [
@@ -87,9 +87,11 @@ def test_garner_normalize_kernel(nprimes, psize, res_size, kr, ka, offset, s_siz
         (2, 2, 4, 3, 4, 5),     # rows > a_size
     ],
 )
-def test_fused_glwe_product_matches_jnp(nprimes, ci, co, rows, size_a, psize, batch):
+def test_fused_glwe_product_matches_jnp(nprimes, prime_bits, ci, co, rows,
+                                        size_a, psize, batch):
+    # prime_bits=28 exercises the lazy-reduction VMP/NTT fast path
     n = 128
-    m = get_module(n, nprimes)
+    m = get_module(n, nprimes, prime_bits)
     P = nprimes
     kr, ka = 17, 17
     res_size = 3
@@ -136,8 +138,10 @@ def test_fused_keyswitch_small_add_matches_jnp():
     assert np.array_equal(np.asarray(have), np.asarray(want))
 
 
-@pytest.mark.parametrize("nprimes,batch", [(2, 3), (4, 1)])
-def test_fused_br_block_step_matches_jnp(nprimes, batch):
+@pytest.mark.parametrize(
+    "nprimes,prime_bits,batch", [(2, 30, 3), (4, 30, 1), (2, 28, 3)]
+)
+def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch):
     """One fused block-binary CGGI step vs the stage-by-stage jnp math
     (blind_rotation_execute_block's block_step, algorithm.rs:275-368)."""
     from poulpy_tpu.backends.pallas_fused import (
@@ -148,7 +152,7 @@ def test_fused_br_block_step_matches_jnp(nprimes, batch):
     from poulpy_tpu.hal.ntt import mont_mul
 
     n = 128
-    m = get_module(n, nprimes)
+    m = get_module(n, nprimes, prime_bits)
     P = nprimes
     base2k, cols, size, rows, psize, block = 17, 2, 3, 3, 4, 4
     t = m.tables

@@ -20,9 +20,10 @@ RNG = np.random.default_rng(3)
 
 
 @pytest.mark.parametrize("n", [128, 512])
-@pytest.mark.parametrize("nprimes", [2, 4])
-def test_pallas_ntt_matches_jnp(n, nprimes):
-    m = get_module(n, nprimes)
+@pytest.mark.parametrize("nprimes,prime_bits", [(2, 30), (4, 30), (2, 28)])
+def test_pallas_ntt_matches_jnp(n, nprimes, prime_bits):
+    # prime_bits=28 exercises the lazy-reduction (Harvey) butterflies
+    m = get_module(n, nprimes, prime_bits)
     t = m.tables
     x = jnp.asarray(
         RNG.integers(-(2**40), 2**40, size=(3, 2, n), dtype=np.int64)
