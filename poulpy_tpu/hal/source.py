@@ -84,9 +84,19 @@ class Source:
 
     def _refill(self, min_words: int):
         nblocks = max(4, -(-min_words // 16))
-        counters = np.arange(self._counter, self._counter + nblocks, dtype=np.uint64)
+        from poulpy_tpu import native
+
+        if native.available():
+            # bit-exact C++ keystream (tests/test_native.py)
+            fresh = native.chacha8_blocks(
+                self._key, self._counter, nblocks
+            ).reshape(-1)
+        else:
+            counters = np.arange(
+                self._counter, self._counter + nblocks, dtype=np.uint64
+            )
+            fresh = _chacha_blocks(self._key, counters).reshape(-1)
         self._counter += nblocks
-        fresh = _chacha_blocks(self._key, counters).reshape(-1)
         left = self._buf[self._pos :]
         self._buf = np.concatenate([left, fresh]) if left.size else fresh
         self._pos = 0

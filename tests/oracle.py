@@ -13,8 +13,18 @@ import numpy as np
 
 
 def negacyclic_mul(a: list[int], b: list[int]) -> list[int]:
-    """Exact product in Z[X]/(X^N+1)."""
+    """Exact product in Z[X]/(X^N+1).
+
+    Fast path: the native C++ __int128 kernel (poulpy_tpu/native) when the
+    result provably fits 128 bits; exact Python big ints otherwise."""
     n = len(a)
+    try:
+        from poulpy_tpu import native
+
+        if native.available():
+            return native.negacyclic_mul_exact(a, b)
+    except (OverflowError, ImportError):
+        pass
     out = [0] * n
     for i, ai in enumerate(a):
         if ai == 0:
