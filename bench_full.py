@@ -48,10 +48,9 @@ def bench_gate_bootstrap(batch=256, iters=5):
     return batch * iters / dt
 
 
-def bench_keyswitch(iters=50):
+def _keyswitch_setup():
     from poulpy_tpu.core import encryption as enc
-    from poulpy_tpu.core.keyswitching import glwe_keyswitch
-    from poulpy_tpu.core.layouts import GLWECiphertext, GLWEPlaintext
+    from poulpy_tpu.core.layouts import GLWEPlaintext
     from poulpy_tpu.core.prepared import gglwe_prepare, glwe_secret_prepare
     from poulpy_tpu.hal import vec_znx
     from poulpy_tpu.hal.module import get_module
@@ -73,7 +72,16 @@ def bench_keyswitch(iters=50):
     ksk = gglwe_prepare(m, enc.glwe_switching_key_encrypt_sk(
         m, sk1, sk2p, base2k, k_key, dnum=3, source_xe=xe, source_xa=xa
     ))
+    return m, ct, ksk
 
+
+def bench_keyswitch(iters=50):
+    """Wall-clock p50 of a single dispatched keyswitch (includes host→device
+    dispatch; on the axon tunnel this is dispatch-bound — see
+    bench_keyswitch_device for the on-device latency)."""
+    from poulpy_tpu.core.keyswitching import glwe_keyswitch
+
+    m, ct, ksk = _keyswitch_setup()
     out = glwe_keyswitch(m, ct, ksk)
     jax.block_until_ready(out.data)
     lat = []
@@ -83,6 +91,55 @@ def bench_keyswitch(iters=50):
         jax.block_until_ready(out.data)
         lat.append(time.perf_counter() - t0)
     return float(np.percentile(np.array(lat), 50) * 1000)
+
+
+def bench_keyswitch_device(chain=64, reps=5):
+    """On-device single-ciphertext keyswitch latency: CHAIN dependent
+    keyswitches inside ONE jitted scan (each consumes the previous output,
+    so they serialize on device), amortizing the dispatch overhead away."""
+    from poulpy_tpu.core.keyswitching import glwe_keyswitch
+
+    m, ct, ksk = _keyswitch_setup()
+
+    @jax.jit
+    def chained(data):
+        def step(d, _):
+            c = ct.replace(data=d)
+            return glwe_keyswitch(m, c, ksk).data, None
+
+        out, _ = jax.lax.scan(step, data, None, length=chain)
+        return out
+
+    out = chained(ct.data)
+    jax.block_until_ready(out)
+    lat = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = chained(ct.data)
+        jax.block_until_ready(out)
+        lat.append((time.perf_counter() - t0) / chain)
+    return float(np.median(np.array(lat)) * 1000)
+
+
+def bench_keyswitch_batched(batch=256, iters=10):
+    """Batched keyswitch throughput (cts/s) at the headline config."""
+    from poulpy_tpu.core.keyswitching import glwe_keyswitch
+
+    m, ct, ksk = _keyswitch_setup()
+    data = jnp.broadcast_to(ct.data, (batch,) + ct.data.shape)
+
+    @jax.jit
+    def step(d):
+        return glwe_keyswitch(m, ct.replace(data=d), ksk).data
+
+    out = step(data)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(out)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
 
 
 def main():
@@ -95,6 +152,16 @@ def main():
     print(json.dumps({
         "metric": "keyswitch_p50_latency_n2048",
         "value": round(p50, 3), "unit": "ms", "vs_baseline": None,
+    }))
+    dev = bench_keyswitch_device()
+    print(json.dumps({
+        "metric": "keyswitch_device_latency_n2048",
+        "value": round(dev, 4), "unit": "ms", "vs_baseline": None,
+    }))
+    thr = bench_keyswitch_batched()
+    print(json.dumps({
+        "metric": "keyswitch_throughput_n2048",
+        "value": round(thr, 1), "unit": "cts/s", "vs_baseline": None,
     }))
 
 
