@@ -93,7 +93,7 @@ def bench_keyswitch(iters=50):
     return float(np.percentile(np.array(lat), 50) * 1000)
 
 
-def bench_keyswitch_device(chain=64, reps=5):
+def bench_keyswitch_device(chain=16, reps=5):
     """On-device single-ciphertext keyswitch latency: CHAIN dependent
     keyswitches inside ONE jitted scan (each consumes the previous output,
     so they serialize on device), amortizing the dispatch overhead away."""

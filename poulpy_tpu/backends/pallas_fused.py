@@ -41,8 +41,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from poulpy_tpu.backends.pallas_ntt import (
+    MASK30,
     _add_mod,
     _csub,
+    _mul_lo30,
     _stage_twiddles,
     _sub_mod,
     lazy_ok,
@@ -108,6 +110,30 @@ def _shl64_u31(v, s: int):
     if s < 64:
         return v << (s - 32), z
     return z, z
+
+
+def _mul_pair_30x28(a, b):
+    """Full product a·b as an (hi, lo) i32 pair, for 0 ≤ a < 2^30 and
+    0 ≤ b < 2^28 (15-bit digit schoolbook; product < 2^58)."""
+    a0 = a & 0x7FFF
+    a1 = a >> 15                      # < 2^15
+    b0 = b & 0x7FFF
+    b1 = b >> 15                      # < 2^13
+    p00 = a0 * b0                     # < 2^30
+    mid = a0 * b1 + a1 * b0           # < 2^31
+    p11 = a1 * b1                     # < 2^28
+    hi, lo = _add64(mid >> 17, mid << 15, p11 >> 2, p11 << 30)
+    return _add64(hi, lo, jnp.zeros_like(p00), p00)
+
+
+def _redc64_pair(hi, lo, p: int, qinv: int):
+    """One Montgomery R=2^30 reduction of a non-negative 64-bit pair
+    S < 2^60: returns T = (S + m·p)/2^30 ≡ S·R^{-1} (mod p), T < S/2^30 + p.
+    T must fit i32 (callers guarantee S < 2^60)."""
+    m = _mul_lo30(lo & MASK30, jnp.int32(qinv))
+    mh, ml = _mul_pair_30x28(m, jnp.int32(p))
+    hi, lo = _add64(hi, lo, mh, ml)
+    return _shr64_lo32(hi, lo, 30)
 
 
 def _mul_d30_w64(d, w: int):
@@ -344,20 +370,37 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
         for bi in range(block):
             acc = None
             acc_b = 0
-            for k in range(kk):
-                ak = r4[:, k, :][:, None, :]
-                bk = pm_ref[pi, bi, k][None, :, :]
-                if lazy:
-                    term = mont_mul_i32_lazy(ak, bk, p, qinv)    # < 2p
+            if lazy:
+                # deferred REDC: accumulate full 64-bit products (4 digit
+                # muls each), ONE Montgomery fold per ≤16-term chunk —
+                # instead of a full REDC (11 digit muls) per term.
+                # Chunk bound: S < 16·2p·p < 2^61 keeps T = S·R^{-1}
+                # < S/2^30 + p < 2^31 in i32 (and < 4p when kk ≤ 6).
+                for k0 in range(0, kk, 16):
+                    ks = range(k0, min(k0 + 16, kk))
+                    hi = lo = None
+                    for k in ks:
+                        ak = r4[:, k, :][:, None, :]             # < 2p
+                        bk = pm_ref[pi, bi, k][None, :, :]       # < p
+                        ph, plo = _mul_pair_30x28(ak, bk)
+                        if hi is None:
+                            hi, lo = ph, plo
+                        else:
+                            hi, lo = _add64(hi, lo, ph, plo)
+                    t = _redc64_pair(hi, lo, p, qinv)
+                    t_b = ((len(ks) * 2 * p * p) >> 30) + p + 1
                     if acc is None:
-                        acc, acc_b = term, 2 * p
+                        acc, acc_b = t, t_b
                     else:
-                        if acc_b + 2 * p >= i32_cap:
+                        if acc_b + t_b >= i32_cap:
                             acc = _lazy_reduce(acc, acc_b, p, 2 * p)
                             acc_b = 2 * p
-                        acc = acc + term
-                        acc_b += 2 * p
-                else:
+                        acc = acc + t
+                        acc_b += t_b
+            else:
+                for k in range(kk):
+                    ak = r4[:, k, :][:, None, :]
+                    bk = pm_ref[pi, bi, k][None, :, :]
                     term = mont_mul_i32(ak, bk, p, qinv)         # [T, M, N]
                     acc = term if acc is None else _add_mod(acc, term, p)
             if rotate:
