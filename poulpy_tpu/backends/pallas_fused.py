@@ -33,6 +33,7 @@ Preconditions (asserted by the dispatch wrapper, not data-checked):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -404,15 +405,17 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                     term = mont_mul_i32(ak, bk, p, qinv)         # [T, M, N]
                     acc = term if acc is None else _add_mod(acc, term, p)
             if rotate:
-                xp = xp_ref[pi, bi]         # [T, N] Montgomery X^{a_i}
+                # xp holds Montgomery NTT(X^{a_i} − 1) (the −1 is folded
+                # into the table, _xpow_minus1_table), so the rotate-and-
+                # subtract collapses to ONE multiply
+                xp = xp_ref[pi, bi]         # [T, N]
                 if lazy:
-                    acc = _lazy_reduce(acc, acc_b, p, 2 * p)
-                    rot = mont_mul_i32_lazy(acc, xp[:, None, :], p, qinv)
-                    acc = rot - acc + jnp.int32(2 * p)           # (0, 4p)
-                    acc_b = 4 * p
+                    if acc_b > min(4 * p, 1 << 30):
+                        acc = _lazy_reduce(acc, acc_b, p, 2 * p)
+                    acc = mont_mul_i32_lazy(acc, xp[:, None, :], p, qinv)
+                    acc_b = 2 * p
                 else:
-                    rot = mont_mul_i32(acc, xp[:, None, :], p, qinv)
-                    acc = _sub_mod(rot, acc, p)
+                    acc = mont_mul_i32(acc, xp[:, None, :], p, qinv)
             if add is None:
                 add, add_b = acc, acc_b
             elif lazy:
@@ -526,6 +529,9 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
                 out_shape=jax.ShapeDtypeStruct(
                     (bp * co * res_size, n), jnp.int32
                 ),
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
             )(*args)
 
     return fn
@@ -614,8 +620,16 @@ def fused_supported(module: Module, psize: int, res_base2k: int) -> bool:
     return res_base2k + (psize + 1).bit_length() <= 31 and res_base2k <= 26
 
 
-def _pick_tile(n, P, cols, size_a, rmax, co, psize, block, b_tot, t_tile=8):
-    """Largest batch tile keeping the kernel working set under ~10 MB VMEM."""
+_T_TILE = int(os.environ.get("POULPY_TPU_TTILE", "8"))
+_VMEM_BUDGET_MB = int(os.environ.get("POULPY_TPU_VMEM_MB", "10"))
+
+
+def _pick_tile(n, P, cols, size_a, rmax, co, psize, block, b_tot,
+               t_tile=None):
+    """Largest batch tile keeping the kernel working set under the VMEM
+    budget (default ~10 MB; POULPY_TPU_TTILE / POULPY_TPU_VMEM_MB tune)."""
+    if t_tile is None:
+        t_tile = _T_TILE
     t_tile = min(t_tile, max(1, b_tot))
     kk = cols * rmax
     mdim = co * psize
@@ -628,7 +642,7 @@ def _pick_tile(n, P, cols, size_a, rmax, co, psize, block, b_tot, t_tile=8):
             + 2 * logn * P + block * P * t
         )
 
-    while t_tile > 1 and vmem_bytes(t_tile) > 10 * (1 << 20):
+    while t_tile > 1 and vmem_bytes(t_tile) > _VMEM_BUDGET_MB * (1 << 20):
         t_tile -= 1
     return t_tile
 
@@ -655,7 +669,7 @@ def fused_glwe_product(
     res_base2k: int,
     pm_base2k: int,
     small=None,              # [..., s_size, N] i64 body to add at col 0
-    t_tile: int = 8,
+    t_tile: int | None = None,
 ):
     """Fused equivalent of dft_apply → vmp_apply → idft_apply →
     (big_add_small at column 0) → big_normalize, bit-exact vs the jnp path.
@@ -701,15 +715,17 @@ def fused_br_block_step(
     module: Module,
     acc,                     # [..., cols, size, N] i64 normalized
     pm_k,                    # [P, block, KK, M, N] i32 kernel-layout pmats
-    xp,                      # [..., block, P, N] Montgomery NTT(X^{a_i}) i32
+    xp,                      # [..., block, P, N] Mont NTT(X^{a_i} − 1) i32
     res_size: int,
     base2k: int,
-    t_tile: int = 8,
+    t_tile: int | None = None,
 ):
     """One fused block-binary CGGI step (algorithm.rs:275-368):
 
-        acc ← normalize(acc + iNTT(Σ_i (X^{a_i}·(NTT(acc) ⊡ BRK_i)
-                                          − NTT(acc) ⊡ BRK_i)))
+        acc ← normalize(acc + iNTT(Σ_i (X^{a_i} − 1)·(NTT(acc) ⊡ BRK_i)))
+
+    with the (X^{a_i} − 1) factor supplied pre-transformed via
+    _xpow_minus1_table (one in-kernel multiply per block element)
 
     bit-exact vs the jnp block path in blind_rotation_execute_block.
     """

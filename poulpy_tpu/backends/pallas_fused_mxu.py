@@ -166,9 +166,8 @@ def _kernel_pipe_mxu(n, n1, n2, primes, qinvs, basis,
                 )                       # [T, M, n2, n1]
                 acc = term if acc is None else _add_mod(acc, term, p)
             if rotate:
-                xp = xp_ref[pi, bi]     # [T, n2, n1] Montgomery X^{a_i} (σ)
-                rot = mont_mul_i32(acc, xp[:, None], p, qinv)
-                acc = _sub_mod(rot, acc, p)
+                xp = xp_ref[pi, bi]     # [T, n2, n1] Mont NTT(X^{a_i}−1) (σ)
+                acc = mont_mul_i32(acc, xp[:, None], p, qinv)
             add = acc if add is None else _add_mod(add, acc, p)
         y = add.reshape(t_tile * mdim, n2, n1)
         ys.append(_inv_rows(y, pi, wa_ref, w0_ref, ti_ref, p, qinv, n1, n2))

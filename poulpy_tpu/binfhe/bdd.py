@@ -415,3 +415,50 @@ def blind_select(
                 nxt.append(level[i])
         level = nxt
     return level[0]
+
+
+def glwe_blind_rotation(
+    module: Module,
+    a: GLWECiphertext,
+    k: "FheUintPrepared",
+    sign: bool = False,
+    bit_rsh: int = 0,
+    bit_mask: int | None = None,
+    bit_lsh: int = 0,
+) -> GLWECiphertext:
+    """res = a · X^{±((k >> bit_rsh) mod 2^bit_mask) << bit_lsh} for an
+    encrypted exponent k (bdd_arithmetic/blind_rotation.rs GLWEBlindRotation):
+    one CMux per selected exponent bit between the rotated and unrotated
+    accumulator."""
+    from poulpy_tpu.core.external_product import glwe_cmux
+    from poulpy_tpu.core.operations import glwe_rotate
+
+    nbits = (k.width - bit_rsh) if bit_mask is None else bit_mask
+    res = a
+    for i in range(nbits):
+        bit = k.bits[bit_rsh + i]
+        amt = 1 << (i + bit_lsh)
+        rot = glwe_rotate(-amt if sign else amt, res)
+        res = glwe_cmux(module, bit, rot, res)
+    return res
+
+
+def ggsw_blind_rotation(
+    module: Module,
+    a: "GGSWCiphertext",
+    k: "FheUintPrepared",
+    sign: bool = False,
+    bit_rsh: int = 0,
+    bit_mask: int | None = None,
+    bit_lsh: int = 0,
+):
+    """GGSW counterpart (bdd_arithmetic/blind_rotation.rs GGSWBlindRotation):
+    every (row, col_in) GLWE of the gadget matrix rotates by the same
+    encrypted exponent.  The reference loops rows × cols; here (dnum, rank+1)
+    are leading batch axes of ONE batched CMux chain."""
+    rows = GLWECiphertext(data=a.data, base2k=a.base2k, k=a.k)
+    out = glwe_blind_rotation(
+        module, rows, k, sign=sign, bit_rsh=bit_rsh, bit_mask=bit_mask,
+        bit_lsh=bit_lsh,
+    )
+    return a.replace(data=out.data)

@@ -19,6 +19,7 @@ import functools
 import flax.struct as struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from poulpy_tpu.core.encryption import ggsw_encrypt_sk
 from poulpy_tpu.core.layouts import LWECiphertext, glwe_size
@@ -279,6 +280,27 @@ def _xpow_table(n: int, primes: tuple):
     return jnp.concatenate([pos, neg], axis=0)  # [2N, P, N]
 
 
+@functools.lru_cache(maxsize=None)
+def _xpow_minus1_table(n: int, primes: tuple):
+    """Montgomery NTT(X^j − 1) for every j in [0, 2N): `[2N, P, N]` int32.
+
+    The fused block-binary kernel folds the CGGI (X^{a_i} − 1) subtraction
+    into the x-power table so the rotate-and-subtract is one multiply.
+    NTT(1) is all-ones in the evaluation domain; Montgomery form of 1 is
+    R mod p, subtracted per prime."""
+    from poulpy_tpu.hal.module import get_module
+    from poulpy_tpu.hal.primes import R
+
+    module = get_module(n, len(primes), max(primes).bit_length())
+    assert module.basis.primes == tuple(primes)
+    xpow = _xpow_table(n, primes)              # [2N, P, N] Montgomery
+    p_arr = jnp.asarray(np.array(primes, dtype=np.int64))[None, :, None]
+    one_m = jnp.asarray(
+        np.array([R % p for p in primes], dtype=np.int64)
+    )[None, :, None]
+    return (xpow - one_m) % p_arr
+
+
 @functools.partial(
     jax.jit, static_argnames=("module", "block_size", "res_k")
 )
@@ -333,6 +355,9 @@ def blind_rotation_execute_block(
     if _use_fused_br(module, brk, base2k):
         from poulpy_tpu.backends.pallas_fused import pm_kernel_layout
 
+        # both fused kernels take Montgomery NTT(X^a − 1) so the CGGI
+        # rotate-and-subtract is a single in-kernel multiply
+        xpow = _xpow_minus1_table(n, module.basis.primes)
         use_mxu = _use_mxu_br(module, brk, base2k)
         if use_mxu:
             from poulpy_tpu.backends.pallas_fused_mxu import (

@@ -294,3 +294,84 @@ def test_blind_rotation_extended():
         vec_znx.decode_vec_i64(base2k, 10, dec.glwe_decrypt(m, glwe, skp).data)
     )[:, 0]
     assert np.max(np.abs(vals - msgs)) <= 1, (msgs, vals)
+
+
+def test_glwe_blind_rotation_encrypted_exponent(br_ctx):
+    """bdd_arithmetic/blind_rotation.rs GLWEBlindRotation: rotate a GLWE by
+    an encrypted exponent, CMux per exponent bit."""
+    from poulpy_tpu.binfhe import bdd as bddm
+    from poulpy_tpu.hal.vec_znx import vec_znx_rotate
+
+    m, sk_lwe, sk_glwe, skp, brk = br_ctx
+    base2k = 17
+    xe, xa = Source(b"\x0d" * 32), Source(b"\x0e" * 32)
+    width, k_val = 3, 5
+    bits = []
+    for i in range(width):
+        b = (k_val >> i) & 1
+        pt = jnp.zeros((m.n,), jnp.int64).at[0].set(b)
+        ggsw = enc.ggsw_encrypt_sk(
+            m, pt, skp, base2k, 68, dnum=3, source_xe=xe, source_xa=xa
+        )
+        bits.append(ggsw_prepare(m, ggsw))
+    kprep = bddm.FheUintPrepared(bits=bits, width=width)
+
+    data = RNG.integers(-(2**12), 2**12, size=m.n, dtype=np.int64)
+    pt_g = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 30, 2, jnp.asarray(data)),
+        base2k=base2k, k=30,
+    )
+    ct = enc.glwe_encrypt_sk(m, pt_g, skp, base2k, 51, xe, xa)
+
+    for sign, rsh, mask, lsh in [(False, 0, None, 0), (True, 0, None, 0),
+                                 (False, 1, 1, 2)]:
+        out = bddm.glwe_blind_rotation(
+            m, ct, kprep, sign=sign, bit_rsh=rsh, bit_mask=mask, bit_lsh=lsh
+        )
+        nbits = (width - rsh) if mask is None else mask
+        amt = ((k_val >> rsh) % (1 << nbits)) << lsh
+        if sign:
+            amt = -amt
+        want = np.asarray(vec_znx_rotate(amt, jnp.asarray(data)))
+        ptd = dec.glwe_decrypt(m, out, skp)
+        got = np.asarray(vec_znx.decode_vec_i64(base2k, 30, ptd.data))
+        assert np.abs(got - want).max() <= 8, (sign, rsh, mask, lsh)
+
+
+def test_ggsw_blind_rotation_encrypted_exponent(br_ctx):
+    """GGSWBlindRotation: the rotated GGSW still acts as a valid external
+    product operand: EP(ct, rot(GGSW(1))) ≈ X^k · ct."""
+    from poulpy_tpu.binfhe import bdd as bddm
+    from poulpy_tpu.hal.vec_znx import vec_znx_rotate
+
+    m, sk_lwe, sk_glwe, skp, brk = br_ctx
+    base2k = 17
+    xe, xa = Source(b"\x0f" * 32), Source(b"\x10" * 32)
+    width, k_val = 2, 3
+    bits = []
+    for i in range(width):
+        b = (k_val >> i) & 1
+        pt = jnp.zeros((m.n,), jnp.int64).at[0].set(b)
+        g = enc.ggsw_encrypt_sk(
+            m, pt, skp, base2k, 68, dnum=3, source_xe=xe, source_xa=xa
+        )
+        bits.append(ggsw_prepare(m, g))
+    kprep = bddm.FheUintPrepared(bits=bits, width=width)
+
+    one = jnp.zeros((m.n,), jnp.int64).at[0].set(1)
+    ggsw1 = enc.ggsw_encrypt_sk(
+        m, one, skp, base2k, 68, dnum=3, source_xe=xe, source_xa=xa
+    )
+    rot = bddm.ggsw_blind_rotation(m, ggsw1, kprep)
+
+    data = RNG.integers(-(2**12), 2**12, size=m.n, dtype=np.int64)
+    pt_g = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 30, 2, jnp.asarray(data)),
+        base2k=base2k, k=30,
+    )
+    ct = enc.glwe_encrypt_sk(m, pt_g, skp, base2k, 51, xe, xa)
+    out = glwe_external_product(m, ct, ggsw_prepare(m, rot))
+    want = np.asarray(vec_znx_rotate(k_val, jnp.asarray(data)))
+    ptd = dec.glwe_decrypt(m, out, skp)
+    got = np.asarray(vec_znx.decode_vec_i64(base2k, 30, ptd.data))
+    assert np.abs(got - want).max() <= 64

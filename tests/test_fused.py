@@ -148,7 +148,10 @@ def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch):
         fused_br_block_step,
         pm_kernel_layout,
     )
-    from poulpy_tpu.binfhe.blind_rotation import _xpow_table
+    from poulpy_tpu.binfhe.blind_rotation import (
+        _xpow_minus1_table,
+        _xpow_table,
+    )
     from poulpy_tpu.hal.ntt import mont_mul
 
     n = 128
@@ -184,7 +187,8 @@ def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch):
         # fused kernel
         rmax = min(rows, size)
         pm_k = jnp.swapaxes(pm_kernel_layout(pmats, rmax), 0, 1)
-        xp_in = jnp.take(xpow, a_vals, axis=0).astype(jnp.int32)
+        xpm1 = _xpow_minus1_table(n, m.basis.primes)
+        xp_in = jnp.take(xpm1, a_vals, axis=0).astype(jnp.int32)
         have = fused_br_block_step(m, acc, pm_k, xp_in, size, base2k,
                                    t_tile=2)
     assert np.array_equal(np.asarray(have), np.asarray(want))

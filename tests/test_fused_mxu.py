@@ -94,7 +94,10 @@ def test_fused_mxu_keyswitch_small_add_matches_jnp():
 def test_fused_mxu_br_block_step_matches_jnp(nprimes, batch):
     """One fused block-binary CGGI step (MXU transforms) vs the jnp math."""
     from poulpy_tpu.backends.pallas_fused import pm_kernel_layout
-    from poulpy_tpu.binfhe.blind_rotation import _xpow_table
+    from poulpy_tpu.binfhe.blind_rotation import (
+        _xpow_minus1_table,
+        _xpow_table,
+    )
     from poulpy_tpu.hal.ntt import mont_mul
 
     m = get_module(N, nprimes)
@@ -131,7 +134,8 @@ def test_fused_mxu_br_block_step_matches_jnp(nprimes, batch):
         pi = jnp.asarray(pfm._sigma_perm(m))
         rmax = min(rows, size)
         pm_k = jnp.swapaxes(pm_kernel_layout(pmats[..., pi], rmax), 0, 1)
-        xp_in = jnp.take(xpow[..., pi], a_vals, axis=0).astype(jnp.int32)
+        xpm1 = _xpow_minus1_table(N, m.basis.primes)
+        xp_in = jnp.take(xpm1[..., pi], a_vals, axis=0).astype(jnp.int32)
         have = pfm.fused_mxu_br_block_step(m, acc, pm_k, xp_in, size,
                                            base2k, t_tile=2)
     assert np.array_equal(np.asarray(have), np.asarray(want))
