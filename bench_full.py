@@ -142,6 +142,58 @@ def bench_keyswitch_batched(batch=256, iters=10):
     return batch * iters / dt
 
 
+def bench_ckks_mul(batch=64, iters=5):
+    """Batched CKKS ct×ct multiply (tensor + relinearize) + rescale at
+    N=2048 (the ckks_mul/ckks_composite poulpy-bench analogue)."""
+    import poulpy_tpu.ckks.ops as ck
+    from poulpy_tpu.ckks.encoder import Encoder
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.prepared import (
+        glwe_secret_prepare,
+        glwe_tensor_key_prepare,
+    )
+    from poulpy_tpu.hal.module import get_module
+    from poulpy_tpu.hal.source import Source
+
+    n, base2k, k_ct, k_key, log_delta, log_budget = 2048, 17, 119, 119, 22, 30
+    m = get_module(n, 4)
+    s = Source(bytes(32))
+    sk = enc.secret_new(m, 1, s)
+    skp = glwe_secret_prepare(m, sk)
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    tsk = glwe_tensor_key_prepare(
+        m,
+        enc.glwe_tensor_key_encrypt_sk(
+            m, sk, skp, base2k, k_key, dnum=7, source_xe=xe, source_xa=xa
+        ),
+    )
+    encd = Encoder(n)
+    rng = np.random.default_rng(3)
+    z = rng.normal(size=n // 2) + 1j * rng.normal(size=n // 2)
+    pt = ck.encode(encd, z, base2k, k_ct, log_delta, log_budget)
+    c1 = ck.encrypt_sk(m, pt, skp, k_ct, xe, xa)
+    c2 = ck.encrypt_sk(m, pt, skp, k_ct, xe, xa)
+
+    d1 = jnp.broadcast_to(c1.glwe.data, (batch,) + c1.glwe.data.shape)
+    d2 = jnp.broadcast_to(c2.glwe.data, (batch,) + c2.glwe.data.shape)
+
+    @jax.jit
+    def step(a_data, b_data):
+        a = c1.replace(glwe=c1.glwe.replace(data=a_data))
+        b = c2.replace(glwe=c2.glwe.replace(data=b_data))
+        out = ck.mul(m, a, b, tsk)
+        return ck.rescale(out, 5).glwe.data
+
+    out = step(d1, d2)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(d1, d2)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def main():
     gbs = bench_gate_bootstrap()
     print(json.dumps({
@@ -162,6 +214,11 @@ def main():
     print(json.dumps({
         "metric": "keyswitch_throughput_n2048",
         "value": round(thr, 1), "unit": "cts/s", "vs_baseline": None,
+    }))
+    ck = bench_ckks_mul()
+    print(json.dumps({
+        "metric": "ckks_mul_rescale_per_s_n2048",
+        "value": round(ck, 1), "unit": "muls/s", "vs_baseline": None,
     }))
 
 
