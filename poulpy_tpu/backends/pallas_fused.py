@@ -249,7 +249,102 @@ def normalize_windows(his, los, psize, res_size, kr, ka, offset):
 
 # ---------------------------------------------------------------------------
 # NTT stage helpers (pure i32, per-prime, scalar immediates)
+#
+# Paired-row butterflies: a radix-2 stage only consumes the twiddle products
+# of its HI lanes (both butterfly outputs read y = x_hi·w), so a uniform
+# full-width multiply wastes half the VPU mult work.  Packing the hi-lane
+# operands of TWO rows into one vector (stage twiddles are constant within
+# each 2·half block, so one twiddle vector serves both) halves the Montgomery
+# multiplies per stage at the cost of ~1 extra roll — the multiplies are the
+# dominant term (i32 mult ≈ 2× add on the VPU, BENCH_NOTES.md).
+# Lane values computed are bitwise identical to the unpaired form.
 # ---------------------------------------------------------------------------
+
+def _ntt_rows_paired(x, wref, n, logn, p, qinv, stage_index, lazy=False):
+    """Forward Cooley–Tukey stages on [rows, N] (rows even) for one prime,
+    one twiddle multiply per ROW PAIR per stage.  Bit-exact vs _ntt_rows."""
+    rows = x.shape[0]
+    h = rows // 2
+    a = x[:h]
+    b = x[h:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    for s in range(logn):
+        half = n >> (s + 1)
+        w = wref[s, stage_index]
+        mask = (lane & (2 * half - 1)) < half
+        # pack: lo lanes ← b's hi-partner values, hi lanes ← a's own
+        c = jnp.where(mask, pltpu.roll(b, jnp.int32(n - half), axis=1), a)
+        if lazy:
+            yc = mont_mul_i32_lazy(c, w, p, qinv)
+        else:
+            yc = mont_mul_i32(c, w, p, qinv)
+        ya = jnp.where(mask, pltpu.roll(yc, jnp.int32(n - half), axis=1), yc)
+        yb = jnp.where(mask, yc, pltpu.roll(yc, jnp.int32(half), axis=1))
+        if lazy:
+            a = _csub(jnp.where(
+                mask, a + ya,
+                pltpu.roll(a, jnp.int32(half), axis=1) - ya + 2 * p,
+            ), 2 * p)
+            b = _csub(jnp.where(
+                mask, b + yb,
+                pltpu.roll(b, jnp.int32(half), axis=1) - yb + 2 * p,
+            ), 2 * p)
+        else:
+            a = jnp.where(
+                mask,
+                _add_mod(a, ya, p),
+                _sub_mod(pltpu.roll(a, jnp.int32(half), axis=1), ya, p),
+            )
+            b = jnp.where(
+                mask,
+                _add_mod(b, yb, p),
+                _sub_mod(pltpu.roll(b, jnp.int32(half), axis=1), yb, p),
+            )
+    return jnp.concatenate([a, b], axis=0)
+
+
+def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
+                      lazy=False):
+    """Inverse Gentleman–Sande stages + N^{-1} scale, one twiddle multiply
+    per ROW PAIR per stage.  Bit-exact vs _intt_rows."""
+    rows = x.shape[0]
+    h = rows // 2
+    a = x[:h]
+    b = x[h:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    for si in range(logn):
+        s = logn - 1 - si
+        half = n >> (s + 1)
+        w = wref[si, stage_index]
+        mask = (lane & (2 * half - 1)) < half
+        if lazy:
+            da = pltpu.roll(a, jnp.int32(half), axis=1) - a + 2 * p
+            db = pltpu.roll(b, jnp.int32(half), axis=1) - b + 2 * p
+        else:
+            da = _sub_mod(pltpu.roll(a, jnp.int32(half), axis=1), a, p)
+            db = _sub_mod(pltpu.roll(b, jnp.int32(half), axis=1), b, p)
+        c = jnp.where(mask, pltpu.roll(db, jnp.int32(n - half), axis=1), da)
+        if lazy:
+            vc = mont_mul_i32_lazy(c, w, p, qinv)
+            ua = a + pltpu.roll(a, jnp.int32(n - half), axis=1)
+            ub = b + pltpu.roll(b, jnp.int32(n - half), axis=1)
+            a = _csub(jnp.where(mask, ua, vc), 2 * p)
+            b = _csub(jnp.where(
+                mask, ub, pltpu.roll(vc, jnp.int32(half), axis=1)
+            ), 2 * p)
+        else:
+            vc = mont_mul_i32(c, w, p, qinv)
+            ua = _add_mod(a, pltpu.roll(a, jnp.int32(n - half), axis=1), p)
+            ub = _add_mod(b, pltpu.roll(b, jnp.int32(n - half), axis=1), p)
+            a = jnp.where(mask, ua, vc)
+            b = jnp.where(mask, ub, pltpu.roll(vc, jnp.int32(half), axis=1))
+    x = jnp.concatenate([a, b], axis=0)
+    if lazy:
+        return _csub(
+            mont_mul_i32_lazy(x, jnp.int32(ninv_mont), p, qinv), p
+        )
+    return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
+
 
 def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False):
     """Forward Cooley–Tukey stages on [rows, N] for one prime (scalar p).
@@ -363,7 +458,10 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
             # residues: |x| < 2^29 < 2p ⇒ one conditional add + one csub
             r = jnp.where(x < 0, x + jnp.int32(2 * p), x)
             r = jnp.where(r >= p, r - p, r)
-        r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi, lazy)
+        if r.shape[0] % 2 == 0:
+            r = _ntt_rows_paired(r, wf_ref, n, logn, p, qinv, pi, lazy)
+        else:
+            r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi, lazy)
         r4 = r.reshape(t_tile, cols, size_a, n)[:, :, :rmax, :]
         r4 = r4.reshape(t_tile, kk, n)      # [0, 2p) when lazy else [0, p)
         add = None
@@ -432,9 +530,13 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
         if lazy:
             add = _lazy_reduce(add, add_b, p, 2 * p)
         y = add.reshape(t_tile * mdim, n)
-        lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-        ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
-                             ninvs[pi], pi, lazy))
+        if y.shape[0] % 2 == 0:
+            ys.append(_intt_rows_paired(y, wi_ref, n, logn, p, qinv,
+                                        ninvs[pi], pi, lazy))
+        else:
+            lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+            ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
+                                 ninvs[pi], pi, lazy))
 
     hi, lo = garner_center_pairs(ys, primes, qinvs, basis)  # [T·M, N]
 
