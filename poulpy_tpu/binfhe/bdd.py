@@ -140,6 +140,13 @@ def bdd_circuit(op: str, width: int) -> list[BDD]:
         out = [_cmp_bdd(width, op == "slt")]
     elif op in ("sll", "srl", "sra"):
         out = [_shift_bdd(width, i, op) for i in range(width)]
+    elif op == "identity":
+        # the 1w→1w refresh circuit (circuits/u32/identity_codgen.rs):
+        # output bit i = a_i
+        out = []
+        for i in range(width):
+            bld = _Builder()
+            out.append(bld.freeze(bld.mk(2 * i, FALSE, TRUE)))
     else:
         raise ValueError(op)
     _CIRCUIT_CACHE[key] = out
@@ -331,6 +338,19 @@ def fheuint_op(
     from poulpy_tpu.hal.normalization import vec_znx_normalize
 
     return acc.replace(data=vec_znx_normalize(base2k, acc.data))
+
+
+def fheuint_op_1w(
+    module: Module,
+    op: str,
+    a: FheUintPrepared,
+    base2k: int,
+    k: int,
+) -> GLWECiphertext:
+    """One-operand circuit evaluation (execute_bdd_circuit_1w_to_1w,
+    bdd_arithmetic/bdd_1w_to_1w.rs) — e.g. 'identity' re-packs prepared GGSW
+    bits into a fresh (refreshed) packed FheUint GLWE."""
+    return fheuint_op(module, op, a, a, base2k, k)
 
 
 def eval_bdd_plain(bdd: BDD, a: int, b: int) -> int:

@@ -375,3 +375,28 @@ def test_ggsw_blind_rotation_encrypted_exponent(br_ctx):
     ptd = dec.glwe_decrypt(m, out, skp)
     got = np.asarray(vec_znx.decode_vec_i64(base2k, 30, ptd.data))
     assert np.abs(got - want).max() <= 64
+
+
+def test_fheuint_identity_1w(br_ctx):
+    """execute_bdd_circuit_1w_to_1w with the Identity circuit: prepared GGSW
+    bits re-pack into a fresh FheUint encrypting the same value."""
+    from poulpy_tpu.binfhe import bdd as bddm
+
+    m, sk_lwe, sk_glwe, skp, brk = br_ctx
+    base2k = 17
+    xe, xa = Source(b"\x11" * 32), Source(b"\x12" * 32)
+    width, val = 4, 11
+    bits = []
+    for i in range(width):
+        b = (val >> i) & 1
+        pt = jnp.zeros((m.n,), jnp.int64).at[0].set(b)
+        g = enc.ggsw_encrypt_sk(
+            m, pt, skp, base2k, 68, dnum=3, source_xe=xe, source_xa=xa
+        )
+        bits.append(ggsw_prepare(m, g))
+    prep = bddm.FheUintPrepared(bits=bits, width=width)
+    out = bddm.fheuint_op_1w(m, "identity", prep, base2k, 51)
+    got = bddm.fheuint_decrypt(
+        m, bddm.FheUint(glwe=out, width=width), skp
+    )
+    assert got == val, got
