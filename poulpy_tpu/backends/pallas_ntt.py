@@ -162,6 +162,108 @@ def _row_consts(vals: np.ndarray, rows_block: int) -> np.ndarray:
     return np.tile(vals.astype(np.int32), rows_block // P)[:, None]
 
 
+def _ntt_kernel_paired(logn: int, inverse: bool, lazy: bool,
+                       x_ref, w_ref, p_ref, qinv_ref, ninv_ref, o_ref):
+    """Paired-row butterflies: a radix-2 stage only consumes the twiddle
+    products of its HI lanes, so packing two rows' hi-lane operands into one
+    vector halves the Montgomery multiplies per stage (stage twiddles are
+    constant within each 2·half block, so one twiddle vector serves both).
+    Requires rows_block % (2·P) == 0 so row r and r + rows_block/2 share a
+    prime.  Lane values are bitwise identical to _ntt_kernel."""
+    n = x_ref.shape[-1]
+    x = x_ref[...]                       # [rows_block, N], prime = row % P
+    rows = x.shape[0]
+    h = rows // 2
+    a, b = x[:h], x[h:]
+    p = p_ref[...][:h]                   # [h, 1]; halves share the pattern
+    qinv = qinv_ref[...][:h]
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
+
+    if not inverse:
+        for s in range(logn):
+            half = n >> (s + 1)
+            w = w_ref[s][:h]
+            mask = (lane & (2 * half - 1)) < half
+            c = jnp.where(mask, pltpu.roll(b, jnp.int32(n - half), axis=1), a)
+            if lazy:
+                yc = mont_mul_i32_lazy(c, w, p, qinv)
+            else:
+                yc = mont_mul_i32(c, w, p, qinv)
+            ya = jnp.where(
+                mask, pltpu.roll(yc, jnp.int32(n - half), axis=1), yc
+            )
+            yb = jnp.where(mask, yc, pltpu.roll(yc, jnp.int32(half), axis=1))
+            if lazy:
+                a = _csub(jnp.where(
+                    mask, a + ya,
+                    pltpu.roll(a, jnp.int32(half), axis=1) - ya + 2 * p,
+                ), 2 * p)
+                b = _csub(jnp.where(
+                    mask, b + yb,
+                    pltpu.roll(b, jnp.int32(half), axis=1) - yb + 2 * p,
+                ), 2 * p)
+            else:
+                a = jnp.where(
+                    mask,
+                    _add_mod(a, ya, p),
+                    _sub_mod(pltpu.roll(a, jnp.int32(half), axis=1), ya, p),
+                )
+                b = jnp.where(
+                    mask,
+                    _add_mod(b, yb, p),
+                    _sub_mod(pltpu.roll(b, jnp.int32(half), axis=1), yb, p),
+                )
+        x = jnp.concatenate([a, b], axis=0)
+        if lazy:
+            x = _csub(x, p_ref[...])     # [0, 2p) → [0, p)
+    else:
+        for si in range(logn):
+            s = logn - 1 - si
+            half = n >> (s + 1)
+            w = w_ref[si][:h]
+            mask = (lane & (2 * half - 1)) < half
+            if lazy:
+                da = pltpu.roll(a, jnp.int32(half), axis=1) - a + 2 * p
+                db = pltpu.roll(b, jnp.int32(half), axis=1) - b + 2 * p
+            else:
+                da = _sub_mod(pltpu.roll(a, jnp.int32(half), axis=1), a, p)
+                db = _sub_mod(pltpu.roll(b, jnp.int32(half), axis=1), b, p)
+            c = jnp.where(
+                mask, pltpu.roll(db, jnp.int32(n - half), axis=1), da
+            )
+            if lazy:
+                vc = mont_mul_i32_lazy(c, w, p, qinv)
+                ua = a + pltpu.roll(a, jnp.int32(n - half), axis=1)
+                ub = b + pltpu.roll(b, jnp.int32(n - half), axis=1)
+                a = _csub(jnp.where(mask, ua, vc), 2 * p)
+                b = _csub(jnp.where(
+                    mask, ub, pltpu.roll(vc, jnp.int32(half), axis=1)
+                ), 2 * p)
+            else:
+                vc = mont_mul_i32(c, w, p, qinv)
+                ua = _add_mod(a, pltpu.roll(a, jnp.int32(n - half), axis=1), p)
+                ub = _add_mod(b, pltpu.roll(b, jnp.int32(n - half), axis=1), p)
+                a = jnp.where(mask, ua, vc)
+                b = jnp.where(
+                    mask, ub, pltpu.roll(vc, jnp.int32(half), axis=1)
+                )
+        x = jnp.concatenate([a, b], axis=0)
+        pf = p_ref[...]
+        qf = qinv_ref[...]
+        if lazy:
+            x = _csub(
+                mont_mul_i32_lazy(
+                    x, jnp.broadcast_to(ninv_ref[...], x.shape), pf, qf
+                ),
+                pf,
+            )
+        else:
+            x = mont_mul_i32(
+                x, jnp.broadcast_to(ninv_ref[...], x.shape), pf, qf
+            )
+    o_ref[...] = x
+
+
 def _ntt_kernel(logn: int, inverse: bool, lazy: bool,
                 x_ref, w_ref, p_ref, qinv_ref, ninv_ref, o_ref):
     n = x_ref.shape[-1]
@@ -241,7 +343,8 @@ def ntt_fn(n: int, primes: tuple[int, ...], rows_block: int = 8,
     ninv_np = _row_consts(
         np.array([pow(n, -1, q) * R % q for q in primes]), rows_block
     )
-    kernel = functools.partial(_ntt_kernel, logn, inverse, lazy_ok(primes))
+    kfn = _ntt_kernel_paired if rows_block % (2 * P) == 0 else _ntt_kernel
+    kernel = functools.partial(kfn, logn, inverse, lazy_ok(primes))
 
     def fn(x):  # x: [M·P, N] int32, prime-folded rows (row r → prime r % P)
         m_rows = x.shape[0]
