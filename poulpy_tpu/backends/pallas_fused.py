@@ -763,6 +763,35 @@ def pm_kernel_layout(pmat, rmax: int):
     return pm.reshape(shape).astype(jnp.int32)
 
 
+def pm_kernel_layout_dsize(pmat, rmax: int, dsize: int):
+    """dsize > 1 kernel layout: the grouped-limb bivariate convolution
+    (keyswitching/glwe.rs:321+, Σ_di vmp(a[dsize−1−di :: dsize], pmat,
+    limb_offset=di)) is still a plain bilinear form Σ_ℓ a_ℓ · PM[ℓ, m] —
+    input limb ℓ maps to gadget row ℓ//dsize with output-limb shift
+    di = dsize−1−(ℓ mod dsize), zero-padded past psize.  Building PM host-
+    side lets the SAME mega-kernel serve any dsize."""
+    rows, ci, co, psize = pmat.shape[:4]
+    entries = []
+    zero = jnp.zeros_like(pmat[0])
+    for limb in range(rmax):
+        r = limb // dsize
+        di = dsize - 1 - (limb % dsize)
+        if r >= rows or di >= psize:
+            entries.append(zero)
+        else:
+            sl = pmat[r, :, :, di:]
+            entries.append(jnp.pad(
+                sl, ((0, 0), (0, 0), (0, psize - sl.shape[2]),
+                     (0, 0), (0, 0))
+            ))
+    pm = jnp.stack(entries, axis=1)       # [ci, rmax, co, psize, P, N]
+    pm = jnp.moveaxis(pm, 4, 0)           # [P, ci, rmax, co, psize, N]
+    return pm.reshape(
+        pm.shape[0], pm.shape[1] * pm.shape[2], pm.shape[3] * pm.shape[4],
+        pm.shape[5],
+    ).astype(jnp.int32)
+
+
 def fused_glwe_product(
     module: Module,
     a_data,                  # [..., ci, size_a, N] i64, |limb| < 2^29
@@ -772,8 +801,9 @@ def fused_glwe_product(
     pm_base2k: int,
     small=None,              # [..., s_size, N] i64 body to add at col 0
     t_tile: int | None = None,
+    dsize: int = 1,
 ):
-    """Fused equivalent of dft_apply → vmp_apply → idft_apply →
+    """Fused equivalent of dft_apply → vmp_apply (any dsize) → idft_apply →
     (big_add_small at column 0) → big_normalize, bit-exact vs the jnp path.
     """
     n = module.n
@@ -781,7 +811,7 @@ def fused_glwe_product(
     rows, ci, co, psize = pmat.shape[:4]
     lead = a_data.shape[:-3]
     a_size = a_data.shape[-2]
-    rmax = min(rows, a_size)
+    rmax = min(rows * dsize, a_size)
     assert fused_supported(module, psize, res_base2k)
 
     b_tot = int(np.prod(lead, dtype=np.int64)) if lead else 1
@@ -792,8 +822,11 @@ def fused_glwe_product(
         a32 = jnp.pad(a32, ((0, pad), (0, 0), (0, 0)))
     bp = b_tot + pad
 
-    pm = pm_kernel_layout(pmat, rmax)[None]   # [1(block), P, KK, M, N]
-    pm = jnp.moveaxis(pm, 0, 1)               # [P, 1, KK, M, N]
+    if dsize == 1:
+        pm = pm_kernel_layout(pmat, rmax)     # [P, KK, M, N]
+    else:
+        pm = pm_kernel_layout_dsize(pmat, rmax, dsize)
+    pm = pm[:, None]                          # [P, 1(block), KK, M, N]
 
     s_size = 0
     sm = None

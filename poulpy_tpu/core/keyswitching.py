@@ -76,7 +76,7 @@ def glwe_keyswitch(
         key.base2k, key.base2k, module.log_n, key.dnum * max(1, a.rank)
     )
     wide = dft.needs_wide(bits)
-    if key.dsize == 1 and not wide:
+    if not wide:
         from poulpy_tpu import backends
 
         if backends.use_fused():
@@ -92,7 +92,7 @@ def glwe_keyswitch(
                     fused_mxu_supported,
                 )
 
-                if (backends.use_fused_mxu()
+                if (key.dsize == 1 and backends.use_fused_mxu()
                         and fused_mxu_supported(
                             module, key.pmat.shape[3], res_base2k)):
                     res = fused_mxu_glwe_product(
@@ -104,7 +104,7 @@ def glwe_keyswitch(
                         key.base2k,
                         small=a.data[..., 0, :, :],
                     )
-                elif use_mxu() and module.n >= MXU_MIN_N:
+                elif key.dsize == 1 and use_mxu() and module.n >= MXU_MIN_N:
                     from poulpy_tpu.backends.mxu_product import mxu_glwe_product
 
                     res = mxu_glwe_product(
@@ -126,6 +126,7 @@ def glwe_keyswitch(
                         res_base2k,
                         key.base2k,
                         small=a.data[..., 0, :, :],
+                        dsize=key.dsize,
                     )
                 return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
 

@@ -111,6 +111,48 @@ def test_fused_glwe_product_matches_jnp(nprimes, prime_bits, ci, co, rows,
     assert np.array_equal(np.asarray(have), np.asarray(want))
 
 
+@pytest.mark.parametrize("prime_bits", [30, 28])
+@pytest.mark.parametrize(
+    "dsize,rows,size_a",
+    [(2, 3, 6), (2, 3, 5), (3, 2, 6), (2, 4, 3)],
+)
+def test_fused_glwe_product_dsize_matches_jnp(prime_bits, dsize, rows,
+                                              size_a):
+    """dsize > 1 grouped-limb product: the host-side pm_kernel_layout_dsize
+    rearrangement must reproduce the (step, offset) subsampled
+    vmp-with-limb_offset accumulation exactly."""
+    n = 128
+    m = get_module(n, 2, prime_bits)
+    P, ci, co, psize, batch = 2, 2, 2, 4, 3
+    kr = 17
+    res_size = 3
+    a = jnp.asarray(
+        RNG.integers(-(2**26), 2**26, size=(batch, ci, size_a, n),
+                     dtype=np.int64)
+    )
+    pmat = _rand_mont(m.basis, (rows, ci, co, psize, P, n))
+
+    # jnp reference: per-digit subsampled VMP accumulation
+    a_dft = dft.dft_apply(m, a)
+    res_dft = None
+    for di in range(dsize):
+        ai_size = min((size_a + di) // dsize, rows)
+        if ai_size == 0:
+            continue
+        ai = dft.dft_copy(a_dft, step=dsize, offset=dsize - 1 - di,
+                          res_size=ai_size)
+        part = dft.vmp_apply(m, ai, pmat, limb_offset=di)
+        res_dft = part if res_dft is None else dft.dft_add(m, res_dft, part)
+    big = dft.idft_apply(m, res_dft)
+    want = dft.big_normalize(m, res_size, kr, big, kr)
+
+    with pltpu.force_tpu_interpret_mode():
+        have = pf.fused_glwe_product(
+            m, a, pmat, res_size, kr, kr, t_tile=2, dsize=dsize
+        )
+    assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
 def test_fused_keyswitch_small_add_matches_jnp():
     n = 128
     m = get_module(n, 2)
