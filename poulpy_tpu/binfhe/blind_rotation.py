@@ -262,41 +262,48 @@ def _use_mxu_br(module, brk, base2k):
 
 @functools.lru_cache(maxsize=None)
 def _xpow_table(n: int, primes: tuple):
-    """Montgomery NTT of X^j for every j in [0, 2N): `[2N, P, N]` int32.
+    """Montgomery NTT of X^j for every j in [0, 2N): `[2N, P, N]` int64
+    NUMPY array (the x_pow_a cache of the block-binary path,
+    blind_rotation/layouts/key.rs + utils.rs:6).
 
-    The x_pow_a cache of the block-binary path (BlindRotationKeyPrepared's
-    optional SvpPPol cache, blind_rotation/layouts/key.rs + utils.rs:6).
-    Negacyclic wrap: X^{N+j} = −X^j.
-    """
-    from poulpy_tpu.hal.module import get_module
+    Computed entirely host-side: the NTT is an evaluation-domain transform,
+    so NTT(X^j) = NTT(X)^{⊙j} (pointwise powers of the exact numpy NTT-of-X
+    replica, mxu_ntt4._np_hal_ntt_probe), and X^{N+j} = −X^j (negacyclic
+    wrap).  Host numpy keeps this lru cache trace-safe: it is usually first
+    populated while TRACING a jitted caller, and a cached jnp value built
+    there would be a leaked tracer, crashing the next differently-shaped
+    trace with UnexpectedTracerError (regression test
+    test_xpow_table_cache_no_tracer_leak)."""
+    from poulpy_tpu.backends.mxu_ntt4 import _np_hal_ntt_probe
+    from poulpy_tpu.hal.primes import R
 
-    # reconstruct the exact basis (ntt_primes is deterministic per bound;
-    # the largest prime's bit length recovers the bound)
-    module = get_module(n, len(primes), max(primes).bit_length())
-    assert module.basis.primes == tuple(primes)
-    basis = jnp.eye(n, dtype=jnp.int64)
-    pos = dft.svp_prepare(module, basis)       # [N, P, N]
-    neg = dft.svp_prepare(module, -basis)
-    return jnp.concatenate([pos, neg], axis=0)  # [2N, P, N]
+    P = len(primes)
+    out = np.zeros((2 * n, P, n), dtype=np.int64)
+    for pi, p in enumerate(primes):
+        base = _np_hal_ntt_probe(p, n)          # canonical NTT(X), [N]
+        row = np.full(n, R % p, dtype=np.int64)  # Montgomery(X^0)
+        for j in range(n):
+            out[j, pi] = row
+            row = row * base % p                # < 2^60: exact in int64
+        out[n:, pi] = (p - out[:n, pi]) % p     # X^{N+j} = −X^j
+    return out
 
 
 @functools.lru_cache(maxsize=None)
 def _xpow_minus1_table(n: int, primes: tuple):
-    """Montgomery NTT(X^j − 1) for every j in [0, 2N): `[2N, P, N]` int32.
+    """Montgomery NTT(X^j − 1) for every j in [0, 2N): `[2N, P, N]` int64
+    NUMPY array (trace-safe, see _xpow_table).
 
     The fused block-binary kernel folds the CGGI (X^{a_i} − 1) subtraction
     into the x-power table so the rotate-and-subtract is one multiply.
     NTT(1) is all-ones in the evaluation domain; Montgomery form of 1 is
     R mod p, subtracted per prime."""
-    from poulpy_tpu.hal.module import get_module
     from poulpy_tpu.hal.primes import R
 
-    module = get_module(n, len(primes), max(primes).bit_length())
-    assert module.basis.primes == tuple(primes)
-    xpow = _xpow_table(n, primes)              # [2N, P, N] Montgomery
-    p_arr = jnp.asarray(np.array(primes, dtype=np.int64))[None, :, None]
-    one_m = jnp.asarray(
-        np.array([R % p for p in primes], dtype=np.int64)
+    xpow = _xpow_table(n, primes)               # [2N, P, N] numpy
+    p_arr = np.array(primes, dtype=np.int64)[None, :, None]
+    one_m = np.array(
+        [R % p for p in primes], dtype=np.int64
     )[None, :, None]
     return (xpow - one_m) % p_arr
 

@@ -400,3 +400,35 @@ def test_fheuint_identity_1w(br_ctx):
         m, bddm.FheUint(glwe=out, width=width), skp
     )
     assert got == val, got
+
+
+def test_xpow_table_cache_no_tracer_leak():
+    """The lru-cached x-power tables are usually first built while TRACING a
+    jitted caller; the cached arrays must be concrete (ensure_compile_time_
+    eval), else the next differently-shaped trace dies with
+    UnexpectedTracerError (regression: gate bootstrap at two batch sizes in
+    one process)."""
+    import jax
+
+    from poulpy_tpu.binfhe.blind_rotation import (
+        _xpow_minus1_table,
+        _xpow_table,
+    )
+    from poulpy_tpu.hal.module import get_module
+
+    m = get_module(32, 2)
+    _xpow_table.cache_clear()
+    _xpow_minus1_table.cache_clear()
+
+    @jax.jit
+    def f(x):
+        t = _xpow_minus1_table(32, m.basis.primes)
+        return x + t[0, 0, 0]
+
+    @jax.jit
+    def g(x):
+        t = _xpow_minus1_table(32, m.basis.primes)
+        return x * 2 + t[0, 0, 0]
+
+    f(jnp.int64(1))
+    g(jnp.int64(2))  # pre-fix: UnexpectedTracerError (leaked tracer reused)
