@@ -155,8 +155,8 @@ def bench_ckks_mul(batch=64, iters=5):
     from poulpy_tpu.hal.module import get_module
     from poulpy_tpu.hal.source import Source
 
-    n, base2k, k_ct, k_key, log_delta, log_budget = 2048, 17, 119, 119, 22, 30
-    m = get_module(n, 4)
+    n, base2k, k_ct, k_key, log_delta, log_budget = 2048, 17, 95, 95, 22, 30
+    m = get_module(n, 2, 28)   # 2 lazy primes cover the 49-bit conv bound
     s = Source(bytes(32))
     sk = enc.secret_new(m, 1, s)
     skp = glwe_secret_prepare(m, sk)
@@ -164,7 +164,7 @@ def bench_ckks_mul(batch=64, iters=5):
     tsk = glwe_tensor_key_prepare(
         m,
         enc.glwe_tensor_key_encrypt_sk(
-            m, sk, skp, base2k, k_key, dnum=7, source_xe=xe, source_xa=xa
+            m, sk, skp, base2k, k_key, dnum=6, source_xe=xe, source_xa=xa
         ),
     )
     encd = Encoder(n)
