@@ -21,7 +21,8 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 
-def bench_gate_bootstrap(batch=256, iters=5):
+def bench_gate_bootstrap(batch=1024, iters=5):
+    # batch sweep 2026-08-19: 256 -> 1,442/s, 512 -> 1,465/s, 1024 -> 1,491/s
     from poulpy_tpu.binfhe import gates
     from poulpy_tpu.hal.source import Source
 

@@ -425,6 +425,7 @@ def _lazy_reduce(x, bound: int, p: int, target: int):
 def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                  t_tile, cols, size_a, rmax, co, psize,
                  res_size, kr, ka, offset, block, rotate, add_acc, s_size,
+                 s64_size,
                  *refs):
     it = iter(refs)
     a_ref = next(it)
@@ -433,6 +434,8 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
     pm_ref = next(it)
     xp_ref = next(it) if rotate else None
     sm_ref = next(it) if s_size else None
+    s64h_ref = next(it) if s64_size else None
+    s64l_ref = next(it) if s64_size else None
     o_ref = next(it)
 
     P = len(primes)
@@ -559,11 +562,29 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
             sj = sm[:, j, :]
             his[0][j], los[0][j] = _add64(his[0][j], los[0][j], sj >> 31, sj)
 
+    # --- + per-column 64-bit terms (tensor-relinearize linear parts), as
+    # (hi, lo) i32 pairs; may carry MORE limbs than the product (the conv
+    # output is longer than the key psize) — extend with zero pairs --------
+    ext_size = max(psize, s64_size)
+    if s64_size:
+        zero = jnp.zeros((t_tile, n), jnp.int32)
+        for c in range(co):
+            his[c] += [zero] * (ext_size - psize)
+            los[c] += [zero] * (ext_size - psize)
+        h4 = s64h_ref[...].reshape(t_tile, co, s64_size, n)
+        l4 = s64l_ref[...].reshape(t_tile, co, s64_size, n)
+        for c in range(co):
+            for j in range(s64_size):
+                his[c][j], los[c][j] = _add64(
+                    his[c][j], los[c][j], h4[:, c, j, :], l4[:, c, j, :]
+                )
+
     # --- bit-window telescoping + i32 carry scan (per output column) -------
     out_rows = []
     for c in range(co):
         out_rows.extend(
-            normalize_windows(his[c], los[c], psize, res_size, kr, ka, offset)
+            normalize_windows(his[c], los[c], ext_size, res_size, kr, ka,
+                              offset)
         )
     o_ref[...] = jnp.stack(out_rows, axis=1).reshape(
         t_tile * co * res_size, n
@@ -574,7 +595,7 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
 def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
              rmax: int, co: int, psize: int, res_size: int, kr: int, ka: int,
              offset: int, block: int, rotate: bool, s_size: int,
-             add_acc: bool):
+             add_acc: bool, s64_size: int = 0):
     logn = n.bit_length() - 1
     P = len(primes)
     kk = cols * rmax
@@ -587,11 +608,11 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
     kernel = functools.partial(
         _kernel_pipe, n, logn, primes, qinvs, ninvs, basis,
         t_tile, cols, size_a, rmax, co, psize,
-        res_size, kr, ka, offset, block, rotate, add_acc, s_size,
+        res_size, kr, ka, offset, block, rotate, add_acc, s_size, s64_size,
     )
     rows_a = cols * size_a
 
-    def fn(a, pm, xp=None, sm=None):
+    def fn(a, pm, xp=None, sm=None, s64h=None, s64l=None):
         # a: [Bp·cols·size_a, N] i32; pm: [P, block, KK, M, N] i32
         # xp: [P, block, Bp, N] i32; sm: [Bp·s_size, N] i32
         bp = a.shape[0] // rows_a
@@ -619,6 +640,14 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
                              memory_space=pltpu.VMEM)
             )
             args.append(sm)
+        if s64_size:
+            for arr in (s64h, s64l):
+                in_specs.append(
+                    pl.BlockSpec((t_tile * co * s64_size, n),
+                                 lambda bi: (bi, 0),
+                                 memory_space=pltpu.VMEM)
+                )
+                args.append(arr)
         with jax.enable_x64(False):
             return pl.pallas_call(
                 kernel,
@@ -802,9 +831,15 @@ def fused_glwe_product(
     small=None,              # [..., s_size, N] i64 body to add at col 0
     t_tile: int | None = None,
     dsize: int = 1,
+    small64=None,            # [..., co, s64, N] i64 big terms, per column
 ):
     """Fused equivalent of dft_apply → vmp_apply (any dsize) → idft_apply →
-    (big_add_small at column 0) → big_normalize, bit-exact vs the jnp path.
+    (big_add_small at column 0 | big_add per column for `small64`) →
+    big_normalize, bit-exact vs the jnp path.
+
+    `small64` carries full wrapping-i64 values (tensor-relinearize linear
+    terms, up to ~2^48): split into (hi, lo) i32 pairs for the in-kernel
+    64-bit add; its limb count may exceed the product's psize.
     """
     n = module.n
     P = module.nprimes
@@ -837,10 +872,23 @@ def fused_glwe_product(
             sm = jnp.pad(sm, ((0, pad), (0, 0), (0, 0)))
         sm = sm.reshape(bp * s_size, n)
 
+    s64_size = 0
+    s64h = s64l = None
+    if small64 is not None:
+        s64_size = small64.shape[-2]
+        sb = small64.reshape(b_tot, co, s64_size, n)
+        if pad:
+            sb = jnp.pad(sb, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        s64h = (sb >> 32).astype(jnp.int32).reshape(bp * co * s64_size, n)
+        s64l = (sb & 0xFFFFFFFF).astype(jnp.int32).reshape(
+            bp * co * s64_size, n
+        )
+
     out = _pipe_fn(
         n, module.basis.primes, t_tile, ci, rmax, rmax, co, psize,
         res_size, res_base2k, pm_base2k, 0, 1, False, s_size, False,
-    )(a32.reshape(bp * ci * rmax, n), pm, sm=sm)
+        s64_size,
+    )(a32.reshape(bp * ci * rmax, n), pm, sm=sm, s64h=s64h, s64l=s64l)
 
     out = out.reshape(bp, co, res_size, n)[:b_tot]
     return out.reshape(lead + (co, res_size, n)).astype(jnp.int64)

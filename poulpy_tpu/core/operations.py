@@ -174,6 +174,32 @@ def glwe_tensor_relinearize(
 
     # Normalize the quadratic terms and keyswitch them through the tensor key
     res_size = glwe_size(res_base2k, res_k)
+
+    if not wide and rank == 1:
+        # rank-1 fast path: ONE quad term → the whole normalize → NTT → VMP
+        # → iNTT → (+ linear terms, full 64-bit, per column) → normalize
+        # tail runs as a single fused kernel (small64 input)
+        from poulpy_tpu import backends
+
+        key1 = tensor_key.keys[(0, 0)]
+        if backends.use_fused() and key1.base2k == base2k:
+            from poulpy_tpu.backends.pallas_fused import (
+                fused_glwe_product,
+                fused_supported,
+            )
+
+            if fused_supported(module, key1.pmat.shape[3], res_base2k):
+                d = dft.big_normalize(
+                    module, key1.dnum * key1.dsize, key1.base2k,
+                    quad[(0, 0)], base2k,
+                )
+                lin64 = jnp.stack(lin, axis=-3)   # [..., rank+1, conv, N]
+                data = fused_glwe_product(
+                    module, d[..., None, :, :], key1.pmat, res_size,
+                    res_base2k, base2k, dsize=key1.dsize, small64=lin64,
+                )
+                return GLWECiphertext(data=data, base2k=res_base2k, k=res_k)
+
     acc = None
     for (i, j), big in quad.items():
         key = tensor_key.keys[(min(i, j), max(i, j))]

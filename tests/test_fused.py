@@ -180,6 +180,47 @@ def test_fused_keyswitch_small_add_matches_jnp():
     assert np.array_equal(np.asarray(have), np.asarray(want))
 
 
+@pytest.mark.parametrize("prime_bits", [30, 28])
+@pytest.mark.parametrize("s64_size", [4, 7])
+def test_fused_product_small64_matches_jnp(prime_bits, s64_size):
+    """Per-column 64-bit add terms (tensor-relinearize linear parts): the
+    fused kernel must reproduce idft → per-column aligned big add →
+    big_normalize exactly, including s64 limb counts LONGER than the
+    product's psize."""
+    n = 128
+    m = get_module(n, 2, prime_bits)
+    P, ci, co, rows, size_a, psize, batch = 2, 1, 2, 3, 3, 4, 3
+    kr = 17
+    res_size = 6
+    a = jnp.asarray(
+        RNG.integers(-(2**16), 2**16, size=(batch, ci, size_a, n),
+                     dtype=np.int64)
+    )
+    big64 = jnp.asarray(
+        RNG.integers(-(2**48), 2**48, size=(batch, co, s64_size, n),
+                     dtype=np.int64)
+    )
+    pmat = _rand_mont(m.basis, (rows, ci, co, psize, P, n))
+
+    a_dft = dft.dft_apply(m, a)
+    res_dft = dft.vmp_apply(m, a_dft, pmat)
+    big = dft.idft_apply(m, res_dft)          # [batch, co, psize, n]
+    mx = max(psize, s64_size)
+    cols = []
+    for c in range(co):
+        col, add = dft._align_limbs(
+            big[..., c, :, :], big64[..., c, :, :], mx, limb_axis=-2
+        )
+        cols.append(col + add)
+    want = dft.big_normalize(m, res_size, kr, jnp.stack(cols, axis=-3), kr)
+
+    with pltpu.force_tpu_interpret_mode():
+        have = pf.fused_glwe_product(
+            m, a, pmat, res_size, kr, kr, t_tile=2, small64=big64
+        )
+    assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
 @pytest.mark.parametrize(
     "nprimes,prime_bits,batch", [(2, 30, 3), (4, 30, 1), (2, 28, 3)]
 )
@@ -273,3 +314,42 @@ def test_fused_crypto_roundtrip():
             m, ct.data, ggsw_p.pmat, want.size, base2k, base2k, t_tile=2
         )
     assert np.array_equal(np.asarray(have), np.asarray(want.data))
+
+
+def test_tensor_relinearize_fused_matches_jnp(monkeypatch):
+    """The rank-1 relinearize fast path (fused kernel with small64 linear
+    terms, core/operations.py) must reproduce the stage-by-stage jnp path
+    bit-exactly."""
+    from poulpy_tpu import backends
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.layouts import GLWEPlaintext
+    from poulpy_tpu.core.operations import glwe_tensor_relinearize
+    from poulpy_tpu.core.prepared import (
+        glwe_secret_prepare,
+        glwe_tensor_key_prepare,
+    )
+    from poulpy_tpu.hal import vec_znx
+    from poulpy_tpu.hal.source import Source
+
+    n, base2k = 128, 17
+    m = get_module(n, 2)
+    sk = enc.secret_new(m, 1, Source(b"\x21" * 32))
+    skp = glwe_secret_prepare(m, sk)
+    xe, xa = Source(b"\x22" * 32), Source(b"\x23" * 32)
+    data = RNG.integers(-(2**12), 2**12, size=n, dtype=np.int64)
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 30, 3, jnp.asarray(data)),
+        base2k=base2k, k=30,
+    )
+    ct = enc.glwe_encrypt_sk(m, pt, skp, base2k, 51, xe, xa)
+    tk = glwe_tensor_key_prepare(
+        m, enc.glwe_tensor_key_encrypt_sk(m, sk, skp, base2k, 68, 4, xe, xa)
+    )
+
+    want = glwe_tensor_relinearize(m, ct, ct, tk)       # jnp path (CPU)
+
+    monkeypatch.setattr(backends, "use_fused", lambda: True)
+    with pltpu.force_tpu_interpret_mode():
+        have = glwe_tensor_relinearize(m, ct, ct, tk)
+    assert have.base2k == want.base2k and have.k == want.k
+    assert np.array_equal(np.asarray(have.data), np.asarray(want.data))
