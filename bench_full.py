@@ -143,7 +143,7 @@ def bench_keyswitch_batched(batch=256, iters=10):
     return batch * iters / dt
 
 
-def bench_ckks_mul(batch=64, iters=5):
+def bench_ckks_mul(batch=256, iters=5):
     """Batched CKKS ct×ct multiply (tensor + relinearize) + rescale at
     N=2048 (the ckks_mul/ckks_composite poulpy-bench analogue)."""
     import poulpy_tpu.ckks.ops as ck
