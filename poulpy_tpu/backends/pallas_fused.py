@@ -941,3 +941,201 @@ def fused_br_block_step(
 
     out = out.reshape(bp, cols, res_size, n)[:b_tot]
     return out.reshape(lead + (cols, res_size, n)).astype(jnp.int64)
+
+
+# ---------------------------------------------------------------------------
+# Fused rank-1 tensor product: residues → NTT(a), NTT(b) → limb convolution
+# per column pair (deferred-REDC 64-bit sums) → iNTT → Garner → {normalized
+# quad digits, linear terms as (hi, lo) pairs}.
+# The quad output is exactly big_normalize(quad_big, dnum limbs); the linear
+# outputs are exactly the wrapping-i64 idft results split into i32 pairs —
+# both feed the existing fused relinearize call (small64).
+# (glwe_tensor_apply, poulpy-core/src/operations/glwe.rs:233-296.)
+# Lazy-prime (< 2^28) path only; others use the jnp pipeline.
+# ---------------------------------------------------------------------------
+
+def _kernel_tensor(n, logn, primes, qinvs, ninvs, r2s, basis: PrimeBasis,
+                   t_tile, size_a, size_b, conv_size, dnum, kr, ka,
+                   a_ref, b_ref, wf_ref, wi_ref, d_ref, lh_ref, ll_ref):
+    P = len(primes)
+    xa = a_ref[...]                   # [T·2·size_a, N] i32, |limb| < 2^29
+    xb = b_ref[...]                   # [T·2·size_b, N]
+
+    ys = []
+    for pi, p in enumerate(primes):
+        qinv = qinvs[pi]
+        shift = 4 * p
+        while shift < (1 << 29):
+            shift *= 2
+
+        def entry(x):
+            r = _lazy_reduce(x + jnp.int32(shift), (1 << 29) + shift,
+                             p, 2 * p)
+            if r.shape[0] % 2 == 0:
+                return _ntt_rows_paired(r, wf_ref, n, logn, p, qinv, pi,
+                                        lazy=True)
+            lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+            return _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi,
+                             lazy=True)
+
+        ra = entry(xa).reshape(t_tile, 2, size_a, n)      # [0, 2p)
+        rb = entry(xb).reshape(t_tile, 2, size_b, n)
+        # right operand Montgomery + canonical (< p) for the 30×28 products
+        rb = _csub(mont_mul_i32_lazy(rb, jnp.int32(r2s[pi]), p, qinv), p)
+
+        # column pairs: 0 → a0·b0, 1 → a0·b1 + a1·b0, 2 → a1·b1
+        pairs = [((0, 0),), ((0, 1), (1, 0)), ((1, 1),)]
+        rows = []
+        for terms in pairs:
+            for k in range(conv_size):
+                hi = lo = None
+                cnt = 0
+                for (ci, cj) in terms:
+                    for l in range(size_a):
+                        j = k - l
+                        if not (0 <= j < size_b):
+                            continue
+                        ph, plo = _mul_pair_30x28(
+                            ra[:, ci, l, :], rb[:, cj, j, :]
+                        )
+                        if hi is None:
+                            hi, lo = ph, plo
+                        else:
+                            hi, lo = _add64(hi, lo, ph, plo)
+                        cnt += 1
+                if hi is None:
+                    rows.append(jnp.zeros((t_tile, n), jnp.int32))
+                    continue
+                assert cnt <= 16          # single-REDC chunk bound
+                t = _redc64_pair(hi, lo, p, qinv)
+                t = _lazy_reduce(t, ((cnt * 2 * p * p) >> 30) + p + 1,
+                                 p, 2 * p)
+                rows.append(t)
+        y = jnp.stack(rows, axis=1).reshape(t_tile * 3 * conv_size, n)
+        if y.shape[0] % 2 == 0:
+            ys.append(_intt_rows_paired(y, wi_ref, n, logn, p, qinv,
+                                        ninvs[pi], pi, lazy=True))
+        else:
+            lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+            ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
+                                 ninvs[pi], pi, lazy=True))
+
+    hi, lo = garner_center_pairs(ys, primes, qinvs, basis)  # [T·3·conv, N]
+    hi = hi.reshape(t_tile, 3, conv_size, n)
+    lo = lo.reshape(t_tile, 3, conv_size, n)
+
+    # quad column (pair index 2) → gadget digits
+    his = [hi[:, 2, j, :] for j in range(conv_size)]
+    los = [lo[:, 2, j, :] for j in range(conv_size)]
+    d = normalize_windows(his, los, conv_size, dnum, kr, ka, 0)
+    d_ref[...] = jnp.stack(d, axis=1).reshape(t_tile * dnum, n)
+    # linear columns (pairs 0, 1) → raw 64-bit pairs
+    lh_ref[...] = hi[:, :2].reshape(t_tile * 2 * conv_size, n)
+    ll_ref[...] = lo[:, :2].reshape(t_tile * 2 * conv_size, n)
+
+
+@functools.lru_cache(maxsize=None)
+def _tensor_fn(n: int, primes: tuple, t_tile: int, size_a: int, size_b: int,
+               conv_size: int, dnum: int, kr: int, ka: int):
+    logn = n.bit_length() - 1
+    P = len(primes)
+    qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
+    ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
+    r2s = tuple(R * R % p for p in primes)
+    wf = _stage_twiddles(primes, n, False, P)
+    wi = _stage_twiddles(primes, n, True, P)
+    basis = PrimeBasis(primes)
+    kernel = functools.partial(
+        _kernel_tensor, n, logn, primes, qinvs, ninvs, r2s, basis,
+        t_tile, size_a, size_b, conv_size, dnum, kr, ka,
+    )
+    ra, rb = 2 * size_a, 2 * size_b
+
+    def fn(a, b):   # a: [Bp·2·size_a, N] i32; b: [Bp·2·size_b, N] i32
+        bp = a.shape[0] // ra
+        grid = (bp // t_tile,)
+        with jax.enable_x64(False):
+            return pl.pallas_call(
+                kernel,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((t_tile * ra, n), lambda bi: (bi, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t_tile * rb, n), lambda bi: (bi, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=[
+                    pl.BlockSpec((t_tile * dnum, n), lambda bi: (bi, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t_tile * 2 * conv_size, n),
+                                 lambda bi: (bi, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((t_tile * 2 * conv_size, n),
+                                 lambda bi: (bi, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((bp * dnum, n), jnp.int32),
+                    jax.ShapeDtypeStruct((bp * 2 * conv_size, n), jnp.int32),
+                    jax.ShapeDtypeStruct((bp * 2 * conv_size, n), jnp.int32),
+                ],
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+            )(a, b, jnp.asarray(wf), jnp.asarray(wi))
+
+    return fn
+
+
+def tensor_supported(module: Module, conv_size: int, base2k: int) -> bool:
+    """Lazy primes + window sums in i32 + single-REDC term bound."""
+    return (
+        lazy_ok(module.basis.primes)
+        and base2k + (conv_size + 1).bit_length() <= 31
+        and base2k <= 26
+    )
+
+
+def fused_tensor_product(
+    module: Module,
+    a_data,                  # [..., 2, size_a, N] i64 rank-1 ct
+    b_data,                  # [..., 2, size_b, N] i64
+    conv_size: int,
+    dnum: int,
+    kr: int,                 # key base2k (quad digit width)
+    ka: int,                 # ciphertext base2k
+    t_tile: int = 4,
+):
+    """Rank-1 tensor product: returns (d, lin64) with
+    d = big_normalize(quad_big, dnum limbs at kr) `[..., dnum, N]` i64 and
+    lin64 `[..., 2, conv_size, N]` wrapping-i64 linear terms — bit-exact vs
+    glwe_tensor_product_big + big_normalize."""
+    n = module.n
+    lead = a_data.shape[:-3]
+    size_a, size_b = a_data.shape[-2], b_data.shape[-2]
+    assert tensor_supported(module, conv_size, ka)
+    assert min(size_a, size_b) * 2 <= 16
+    b_tot = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    t_tile = min(t_tile, max(1, b_tot))
+    a32 = a_data.reshape(b_tot, 2 * size_a, n).astype(jnp.int32)
+    b32 = b_data.reshape(b_tot, 2 * size_b, n).astype(jnp.int32)
+    pad = (-b_tot) % t_tile
+    if pad:
+        a32 = jnp.pad(a32, ((0, pad), (0, 0), (0, 0)))
+        b32 = jnp.pad(b32, ((0, pad), (0, 0), (0, 0)))
+    bp = b_tot + pad
+    d, lh, ll = _tensor_fn(
+        n, module.basis.primes, t_tile, size_a, size_b, conv_size, dnum,
+        kr, ka,
+    )(a32.reshape(bp * 2 * size_a, n), b32.reshape(bp * 2 * size_b, n))
+    d = d.reshape(bp, dnum, n)[:b_tot].reshape(lead + (dnum, n))
+    lh = lh.reshape(bp, 2, conv_size, n)[:b_tot]
+    ll = ll.reshape(bp, 2, conv_size, n)[:b_tot]
+    lin64 = (lh.astype(jnp.int64) << 32) | (
+        ll.astype(jnp.int64) & 0xFFFFFFFF
+    )
+    return d.astype(jnp.int64), lin64.reshape(lead + (2, conv_size, n))

@@ -316,10 +316,11 @@ def test_fused_crypto_roundtrip():
     assert np.array_equal(np.asarray(have), np.asarray(want.data))
 
 
-def test_tensor_relinearize_fused_matches_jnp(monkeypatch):
-    """The rank-1 relinearize fast path (fused kernel with small64 linear
-    terms, core/operations.py) must reproduce the stage-by-stage jnp path
-    bit-exactly."""
+@pytest.mark.parametrize("prime_bits", [30, 28])
+def test_tensor_relinearize_fused_matches_jnp(monkeypatch, prime_bits):
+    """The rank-1 relinearize fast path must reproduce the stage-by-stage
+    jnp path bit-exactly — prime_bits=28 routes the tensor product through
+    the fused tensor kernel, 30 through the jnp conv + fused relinearize."""
     from poulpy_tpu import backends
     from poulpy_tpu.core import encryption as enc
     from poulpy_tpu.core.layouts import GLWEPlaintext
@@ -332,7 +333,7 @@ def test_tensor_relinearize_fused_matches_jnp(monkeypatch):
     from poulpy_tpu.hal.source import Source
 
     n, base2k = 128, 17
-    m = get_module(n, 2)
+    m = get_module(n, 2, prime_bits)
     sk = enc.secret_new(m, 1, Source(b"\x21" * 32))
     skp = glwe_secret_prepare(m, sk)
     xe, xa = Source(b"\x22" * 32), Source(b"\x23" * 32)
@@ -353,3 +354,42 @@ def test_tensor_relinearize_fused_matches_jnp(monkeypatch):
         have = glwe_tensor_relinearize(m, ct, ct, tk)
     assert have.base2k == want.base2k and have.k == want.k
     assert np.array_equal(np.asarray(have.data), np.asarray(want.data))
+
+
+def test_fused_tensor_product_matches_jnp():
+    """Rank-1 fused tensor product vs glwe_tensor_product_big: quad digits
+    and 64-bit linear terms must match the jnp path exactly."""
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.layouts import GLWEPlaintext
+    from poulpy_tpu.core.operations import glwe_tensor_product_big
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
+    from poulpy_tpu.hal import vec_znx
+    from poulpy_tpu.hal.source import Source
+
+    n, base2k = 128, 17
+    m = get_module(n, 2, 28)         # lazy primes (kernel precondition)
+    sk = enc.secret_new(m, 1, Source(b"\x31" * 32))
+    skp = glwe_secret_prepare(m, sk)
+    xe, xa = Source(b"\x32" * 32), Source(b"\x33" * 32)
+    data = RNG.integers(-(2**12), 2**12, size=(2, n), dtype=np.int64)
+    cts = []
+    for i in range(2):
+        pt = GLWEPlaintext(
+            data=vec_znx.encode_vec_i64(base2k, 30, 3, jnp.asarray(data[i])),
+            base2k=base2k, k=30,
+        )
+        cts.append(enc.glwe_encrypt_sk(m, pt, skp, base2k, 51, xe, xa))
+    a, b = cts
+    conv_size = a.size + b.size - 1
+    dnum = 4
+
+    lin, quad = glwe_tensor_product_big(m, a, b, conv_size)
+    d_want = dft.big_normalize(m, dnum, base2k, quad[(0, 0)], base2k)
+    lin_want = jnp.stack(lin, axis=-3)
+
+    with pltpu.force_tpu_interpret_mode():
+        d_have, lin_have = pf.fused_tensor_product(
+            m, a.data, b.data, conv_size, dnum, base2k, base2k, t_tile=1
+        )
+    assert np.array_equal(np.asarray(d_have), np.asarray(d_want))
+    assert np.array_equal(np.asarray(lin_have), np.asarray(lin_want))
