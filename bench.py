@@ -43,10 +43,10 @@ BASE2K = 17
 K_CT = 51
 K_KEY = 68
 DNUM = 3
-BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
+BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 # batch sweep 2026-08-19: 256->55k, 512->73k, 1536->92k, 4096->97k,
-# 8192->100.6k ext-products/s (per-dispatch overhead amortizes; the kernel
-# itself is compute-bound)
+# 8192->100.6k, 16384->102.2k ext-products/s (per-dispatch overhead
+# amortizes; the kernel itself is compute-bound)
 NPRIMES = 2      # 2 primes cover N=2048, base2k=17 exactly (primes.py)
 PRIME_BITS = int(os.environ.get("BENCH_PRIME_BITS", "28"))
 # < 2^28 primes keep the exact range (2^56 ≫ 2^48 needed) and enable the
