@@ -156,6 +156,55 @@ def glwe_keyswitch(
     return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
 
 
+def gglwe_keyswitch(
+    module: Module,
+    a,                        # GGLWECiphertext
+    key: GGLWEPrepared,
+    res_base2k: int | None = None,
+    res_k: int | None = None,
+):
+    """GGLWE keyswitch (gglwe_keyswitch_default, keyswitching/gglwe.rs:29-76):
+    GLWE-keyswitch every (row, col) sub-ciphertext of the gadget.  The
+    reference loops rows × cols_in; here the (dnum, rank_in) axes are batch
+    axes of ONE batched glwe_keyswitch call."""
+    from poulpy_tpu.core.layouts import GGLWECiphertext
+
+    assert a.rank_out == key.rank_in, (a.rank_out, key.rank_in)
+    glwe = GLWECiphertext(data=a.data, base2k=a.base2k, k=a.k)
+    ks = glwe_keyswitch(module, glwe, key, res_base2k, res_k)
+    return GGLWECiphertext(
+        data=ks.data, base2k=ks.base2k, k=ks.k, dsize=a.dsize
+    )
+
+
+def ggsw_keyswitch(
+    module: Module,
+    a,                        # GGSWCiphertext
+    key: GGLWEPrepared,       # switching key s_in -> s_out (rank_in == rank_out)
+    tsk,                      # GGLWEToGGSWKey under s_out (list[GGLWEPrepared])
+    res_base2k: int | None = None,
+    res_k: int | None = None,
+):
+    """GGSW keyswitch (ggsw_keyswitch_default, keyswitching/ggsw.rs:59-95):
+    GLWE-keyswitch column 0 of every gadget row (batched over dnum), then
+    regenerate columns 1..rank via the GGLWE→GGSW row expansion with the
+    tensor key (ggsw_expand_row)."""
+    from poulpy_tpu.core.conversion import ggsw_from_gglwe
+    from poulpy_tpu.core.layouts import GGLWECiphertext
+
+    col0 = GLWECiphertext(
+        data=a.data[..., :, 0, :, :, :], base2k=a.base2k, k=a.k
+    )
+    ks = glwe_keyswitch(module, col0, key, res_base2k, res_k)
+    gglwe = GGLWECiphertext(
+        data=ks.data[..., :, None, :, :, :],
+        base2k=ks.base2k,
+        k=ks.k,
+        dsize=a.dsize,
+    )
+    return ggsw_from_gglwe(module, gglwe, tsk)
+
+
 def glwe_normalize(
     module: Module, a: GLWECiphertext, base2k: int, k: int
 ) -> GLWECiphertext:

@@ -58,6 +58,13 @@ def glwe_rotate(p, a: GLWECiphertext) -> GLWECiphertext:
     return a.replace(data=vec_znx_rotate(p, a.data))
 
 
+def ggsw_rotate(p, a):
+    """GGSW · X^p (ggsw_rotate_default, operations/ggsw.rs:21-41): rotate
+    every (row, col) sub-GLWE — multiplies the GGSW plaintext by X^p.  One
+    batched rotate of the whole gadget tensor; `p` may be traced/batched."""
+    return a.replace(data=vec_znx_rotate(p, a.data))
+
+
 def glwe_mul_xp_minus_one(p, a: GLWECiphertext) -> GLWECiphertext:
     """(X^p − 1)·ct — the CGGI accumulator update."""
     return a.replace(data=vec_znx_mul_xp_minus_one(p, a.data))

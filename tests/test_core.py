@@ -410,3 +410,141 @@ def test_tensor_relinearize(ctx):
     err -= np.round(err)
     # only the tensor-key keyswitch noise remains (k_tsk = 119)
     assert np.abs(err).max() < 2.0**-90, np.log2(np.abs(err).max())
+
+
+# --------------------------------------------------------------------------
+# Gadget-ciphertext key management (keyswitching/gglwe.rs, ggsw.rs,
+# automorphism/ggsw_ct.rs, gglwe_atk.rs, operations/ggsw.rs)
+# --------------------------------------------------------------------------
+
+
+def test_ggsw_rotate(ctx):
+    from poulpy_tpu.core.operations import ggsw_rotate
+
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    ptg = np.zeros(N, dtype=np.int64)
+    ptg[5] = 1
+    ggsw = enc.ggsw_encrypt_sk(
+        m, jnp.asarray(ptg), skp, BASE2K, K_KEY, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    rot = ggsw_rotate(3, ggsw)   # plaintext becomes X^8
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    ct2 = glwe_external_product(m, ct, ggsw_prepare(m, rot))
+    want = np.asarray(znx.znx_rotate(8, jnp.asarray(data)))
+    assert np.array_equal(decode(m, ct2, skp), want)
+
+
+def test_gglwe_keyswitch(ctx):
+    from poulpy_tpu.core.keyswitching import gglwe_keyswitch
+    from poulpy_tpu.core.layouts import GLWECiphertext
+
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    sk2 = enc.secret_new(m, 1, Source(b"\x05" * 32))
+    sk2p = glwe_secret_prepare(m, sk2)
+    msg = RNG.integers(-(2**10), 2**10, size=N, dtype=np.int64)
+    gglwe = enc.gglwe_encrypt_sk(
+        m, jnp.asarray(msg)[None, :], skp, BASE2K, K_KEY, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    ksk = enc.glwe_switching_key_encrypt_sk(
+        m, sk, sk2p, BASE2K, 85, dnum=5, source_xe=xe, source_xa=xa
+    )
+    out = gglwe_keyswitch(m, gglwe, gglwe_prepare(m, ksk))
+    assert out.dnum == 3 and out.rank_in == 1 and out.rank_out == 1
+    # every row r (col 0) must decrypt under sk2 to msg * 2^{-(r+1)*base2k}
+    for r in range(out.dnum):
+        row = GLWECiphertext(data=out.data[r, 0], base2k=out.base2k, k=out.k)
+        pt = dec.glwe_decrypt(m, row, sk2p)
+        got = np.asarray(
+            vec_znx.decode_vec_i64(BASE2K, BASE2K * (r + 1), pt.data)
+        )
+        assert np.max(np.abs(got - msg)) <= 1, r
+
+
+def test_ggsw_keyswitch(ctx):
+    from poulpy_tpu.core.keyswitching import ggsw_keyswitch
+
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    sk2 = enc.secret_new(m, 1, Source(b"\x06" * 32))
+    sk2p = glwe_secret_prepare(m, sk2)
+    ptg = np.zeros(N, dtype=np.int64)
+    ptg[5] = 1
+    ggsw = enc.ggsw_encrypt_sk(
+        m, jnp.asarray(ptg), skp, BASE2K, K_KEY, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    ksk = enc.glwe_switching_key_encrypt_sk(
+        m, sk, sk2p, BASE2K, 102, dnum=6, source_xe=xe, source_xa=xa
+    )
+    tsk = gglwe_to_ggsw_key_encrypt_sk(
+        m, sk2, sk2p, BASE2K, 102, dnum=6, source_xe=xe, source_xa=xa
+    )
+    switched = ggsw_keyswitch(m, ggsw, gglwe_prepare(m, ksk), tsk)
+    # the switched GGSW must act (under sk2) as multiplication by X^5
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), sk2p, BASE2K, K_CT, xe, xa)
+    ct2 = glwe_external_product(m, ct, ggsw_prepare(m, switched))
+    want = np.asarray(znx.znx_rotate(5, jnp.asarray(data)))
+    got = decode(m, ct2, sk2p)
+    assert np.max(np.abs(got - want)) <= 1024
+
+
+def test_ggsw_automorphism(ctx):
+    from poulpy_tpu.core.automorphism import ggsw_automorphism
+
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    p = m.galois_element(1)  # 5
+    ptg = np.zeros(N, dtype=np.int64)
+    ptg[1] = 1               # X -> X^p under the automorphism
+    ggsw = enc.ggsw_encrypt_sk(
+        m, jnp.asarray(ptg), skp, BASE2K, K_KEY, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    key, _ = enc.glwe_automorphism_key_encrypt_sk(
+        m, p, sk, BASE2K, 102, dnum=6, source_xe=xe, source_xa=xa
+    )
+    akp = GLWEAutomorphismKeyPrepared(key=gglwe_prepare(m, key), p=p)
+    tsk = gglwe_to_ggsw_key_encrypt_sk(
+        m, sk, skp, BASE2K, 102, dnum=6, source_xe=xe, source_xa=xa
+    )
+    out = ggsw_automorphism(m, ggsw, akp, tsk)
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    ct2 = glwe_external_product(m, ct, ggsw_prepare(m, out))
+    want = np.asarray(znx.znx_rotate(p, jnp.asarray(data)))  # X^1 -> X^5
+    got = decode(m, ct2, skp)
+    assert np.max(np.abs(got - want)) <= 1024
+
+
+def test_automorphism_key_automorphism(ctx):
+    from poulpy_tpu.core.automorphism import (
+        glwe_automorphism_key_automorphism,
+    )
+
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    p1, p2 = m.galois_element(1), m.galois_element(2)  # 5, 25
+    key1, _ = enc.glwe_automorphism_key_encrypt_sk(
+        m, p1, sk, BASE2K, 102, dnum=6, source_xe=xe, source_xa=xa
+    )
+    key2, _ = enc.glwe_automorphism_key_encrypt_sk(
+        m, p2, sk, BASE2K, 102, dnum=6, source_xe=xe, source_xa=xa
+    )
+    akp2 = GLWEAutomorphismKeyPrepared(key=gglwe_prepare(m, key2), p=p2)
+    composed, p_out = glwe_automorphism_key_automorphism(m, key1, p1, akp2)
+    assert p_out == (p1 * p2) % (2 * N)
+    akp12 = GLWEAutomorphismKeyPrepared(
+        key=gglwe_prepare(m, composed), p=p_out
+    )
+    data = rand_msg()
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+    ct2 = glwe_automorphism(m, ct, akp12)
+    want = np.asarray(znx.znx_automorphism(p_out, jnp.asarray(data)))
+    got = decode(m, ct2, skp)
+    assert np.max(np.abs(got - want)) <= 4
