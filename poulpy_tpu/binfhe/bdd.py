@@ -216,6 +216,7 @@ class BDDKey:
     k_ct: int
     dnum_ggsw: int
     k_ggsw: int
+    extension_factor: int = 1  # forwarded to the CBT blind rotation
 
 
 def fheuint_encrypt(
@@ -268,6 +269,7 @@ def fheuint_prepare(
     ggsw = circuit_bootstrap(
         module, lwe, 1, key.cbt, dnum_res=key.dnum_ggsw,
         k_res=key.k_ggsw, to_exponent=False,
+        extension_factor=key.extension_factor,
     )
     prepared = ggsw_prepare(module, ggsw)       # pmat [w, dnum, ., ., ., P, N]
     bits = [prepared.replace(pmat=prepared.pmat[j]) for j in range(w)]

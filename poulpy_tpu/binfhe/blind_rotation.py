@@ -260,6 +260,29 @@ def _use_mxu_br(module, brk, base2k):
     )
 
 
+def blind_rotation_dispatch(
+    module: Module,
+    lwe: LWECiphertext,
+    lut: LookupTable,
+    brk: BlindRotationKeyPrepared,
+    block_size: int = 1,
+    res_k: int | None = None,
+):
+    """Path selection (BlindRotationExecute::execute, algorithm.rs:88-118):
+    the extended multi-poly path when the LUT spans extension_factor > 1
+    polynomials, the block-binary path for block_size > 1 keys, else the
+    standard one-external-product-per-coefficient path."""
+    if lut.extension_factor > 1:
+        return blind_rotation_execute_extended(
+            module, lwe, lut, brk, block_size, res_k=res_k
+        )
+    if block_size > 1:
+        return blind_rotation_execute_block(
+            module, lwe, lut, brk, block_size, res_k=res_k
+        )
+    return blind_rotation_execute(module, lwe, lut, brk, res_k=res_k)
+
+
 @functools.lru_cache(maxsize=None)
 def _xpow_table(n: int, primes: tuple):
     """Montgomery NTT of X^j for every j in [0, 2N): `[2N, P, N]` int64

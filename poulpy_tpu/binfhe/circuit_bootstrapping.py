@@ -16,7 +16,7 @@ import numpy as np
 
 from poulpy_tpu.binfhe.blind_rotation import (
     BlindRotationKeyPrepared,
-    blind_rotation_execute,
+    blind_rotation_dispatch,
     blind_rotation_key_encrypt_sk,
 )
 from poulpy_tpu.binfhe.lut import lookup_table_new
@@ -42,11 +42,15 @@ from poulpy_tpu.hal.source import Source
 
 @dataclass
 class CircuitBootstrappingKey:
-    """{brk, atk, tsk} bundle (circuit_bootstrapping/key.rs:181-185)."""
+    """{brk, atk, tsk} bundle (circuit_bootstrapping/key.rs:181-185).
+    block_size > 1 declares the LWE secret block-binary, routing the CBT
+    blind rotation through the batched block path (key.block_size() in the
+    reference)."""
 
     brk: BlindRotationKeyPrepared
     atk: dict[int, GLWEAutomorphismKeyPrepared]
     tsk: list  # GGLWEPrepared per rank column (GGLWEToGGSWKey)
+    block_size: int = 1
 
 
 def circuit_bootstrapping_keygen(
@@ -63,6 +67,7 @@ def circuit_bootstrapping_keygen(
     dnum_tsk: int,
     source_xe: Source,
     source_xa: Source,
+    block_size: int = 1,
 ) -> CircuitBootstrappingKey:
     brk = blind_rotation_key_encrypt_sk(
         module, jnp.asarray(sk_lwe), sk_glwe_prepared,
@@ -78,7 +83,9 @@ def circuit_bootstrapping_keygen(
         module, sk_glwe, sk_glwe_prepared, base2k, k_tsk, dnum_tsk,
         source_xe, source_xa,
     )
-    return CircuitBootstrappingKey(brk=brk, atk=atk, tsk=tsk)
+    return CircuitBootstrappingKey(
+        brk=brk, atk=atk, tsk=tsk, block_size=block_size
+    )
 
 
 def circuit_bootstrap(
@@ -89,11 +96,17 @@ def circuit_bootstrap(
     dnum_res: int,
     k_res: int,
     to_exponent: bool = False,
+    extension_factor: int = 1,
 ) -> GGSWCiphertext:
-    """circuit_bootstrap_core (circuit.rs:220-361), extension_factor == 1.
+    """circuit_bootstrap_core (circuit.rs:220-369).
 
     to_constant (default): GGSW encrypting the constant j = dec(lwe).
     to_exponent: GGSW encrypting X^j.
+
+    `extension_factor` spreads the LUT over that many degree-N polynomials
+    (effective domain N·ext, circuit.rs:288-299); key.block_size routes the
+    blind rotation through the block-binary path.  Both compose with each
+    other and with either encoding.
     """
     base2k = key.brk.base2k
     res_base2k = base2k
@@ -112,13 +125,19 @@ def circuit_bootstrap(
     lut_k = res_base2k * dnum_res
     lut = lookup_table_new(
         n, base2k, lut_k, f, lut_k,
+        extension_factor=extension_factor,
         rot_dir="right" if to_exponent else "left",
     )
 
-    acc_data = blind_rotation_execute(module, lwe, lut, key.brk)
+    acc_data = blind_rotation_dispatch(
+        module, lwe, lut, key.brk, key.block_size
+    )
     acc = GLWECiphertext(data=acc_data, base2k=base2k, k=lut.size * base2k)
 
-    gap = 2 * lut.drift
+    # digit spacing in the N-ring: the full-domain step folds by ext
+    # (circuit.rs:333)
+    gap = 2 * lut.drift // extension_factor
+    assert gap > 0, (lut.drift, extension_factor)
     log_gap_in = (gap * alpha - 1).bit_length()
 
     rows = []

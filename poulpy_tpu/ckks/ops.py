@@ -168,6 +168,26 @@ def sub_plain(a: CKKSCiphertext, pt: CKKSPlaintext) -> CKKSCiphertext:
     return CKKSCiphertext(glwe=glwe_sub_plain(a.glwe, pt.pt), meta=a.meta)
 
 
+def mul_pow2(a: CKKSCiphertext, bits: int) -> CKKSCiphertext:
+    """ct · 2^bits (ckks_mul_pow2_into_default, leveled/default/pow2.rs:26):
+    a pure limb shift; the message scales by 2^bits at fixed
+    (log_delta, log_budget).  The reference's `offset` term handles
+    destination-layout mismatch, which the functional API has no analogue
+    of (the result inherits the operand's layout)."""
+    return CKKSCiphertext(glwe=glwe_lsh(bits, a.glwe), meta=a.meta)
+
+
+def div_pow2(a: CKKSCiphertext, bits: int) -> CKKSCiphertext:
+    """ct / 2^bits (ckks_div_pow2_into_default, leveled/default/pow2.rs:58):
+    no data movement — the scale is re-declared (log_delta += bits,
+    log_budget -= bits), so the same torus value decodes as m/2^bits."""
+    budget = _checked_sub("div_pow2", a.log_budget, bits)
+    return CKKSCiphertext(
+        glwe=a.glwe,
+        meta=CKKSMeta(log_delta=a.meta.log_delta + bits, log_budget=budget),
+    )
+
+
 def rescale(a: CKKSCiphertext, k: int) -> CKKSCiphertext:
     """ct·2^k with budget -= k (pure bit shift, default/rescale.rs:23-37)."""
     budget = _checked_sub("rescale", a.log_budget, k)

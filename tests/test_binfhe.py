@@ -432,3 +432,59 @@ def test_xpow_table_cache_no_tracer_leak():
 
     f(jnp.int64(1))
     g(jnp.int64(2))  # pre-fix: UnexpectedTracerError (leaked tracer reused)
+
+
+def test_circuit_bootstrap_block_extended():
+    """CBT on the block-binary + extension_factor>1 blind-rotation paths
+    (circuit.rs:35-99 forwards both); composes each encoding with
+    block_size=4 and ext=2."""
+    m = get_module(64, 4)
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x09" * 32), Source(b"\x0a" * 32)
+    base2k = 17
+    n_lwe, block = 16, 4
+    sk_lwe = src.binary_block(n_lwe, block)
+    sk_glwe = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk_glwe)
+    cbt = circuit_bootstrapping_keygen(
+        m, sk_lwe, sk_glwe, skp, base2k,
+        k_brk=68, dnum_brk=4, k_atk=68, dnum_atk=4, k_tsk=68, dnum_tsk=4,
+        source_xe=xe, source_xa=xa, block_size=block,
+    )
+    log_domain = 3
+    data = RNG.integers(-(2**12), 2**12, size=m.n, dtype=np.int64)
+    pt_g = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 30, 2, jnp.asarray(data)),
+        base2k=base2k, k=30,
+    )
+    ct = enc.glwe_encrypt_sk(m, pt_g, skp, base2k, 51, xe, xa)
+
+    # to_constant: GGSW(1) acts as identity in an external product
+    pt = np.zeros((2, 1), dtype=np.int64)
+    pt[0, 0] = 1 << (base2k - 1 - log_domain)
+    lwe = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, 34, xe, xa
+    )
+    ggsw = circuit_bootstrap(
+        m, lwe, log_domain, cbt, dnum_res=3, k_res=51, extension_factor=2
+    )
+    out = glwe_external_product(m, ct, ggsw_prepare(m, ggsw))
+    got = np.asarray(vec_znx.decode_vec_i64(
+        base2k, 30, dec.glwe_decrypt(m, out, skp).data))
+    assert np.abs(got - data).max() <= 1024
+
+    # to_exponent: GGSW(X^j) rotates by j
+    j = 5
+    pt[0, 0] = j << (base2k - 1 - log_domain)
+    lwe = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, 34, xe, xa
+    )
+    ggsw = circuit_bootstrap(
+        m, lwe, log_domain, cbt, dnum_res=3, k_res=51,
+        to_exponent=True, extension_factor=2,
+    )
+    out = glwe_external_product(m, ct, ggsw_prepare(m, ggsw))
+    want = np.asarray(znx.znx_rotate(j, jnp.asarray(data)))
+    got = np.asarray(vec_znx.decode_vec_i64(
+        base2k, 30, dec.glwe_decrypt(m, out, skp).data))
+    assert np.abs(got - want).max() <= 1024

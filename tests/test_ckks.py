@@ -162,3 +162,63 @@ def test_error_taxonomy():
         ops.rotate_by(None, None, {}, 3)
     assert issubclass(ops.PlaintextBase2KMismatch, ops.CKKSError)
     assert issubclass(ops.PlaintextAlignmentImpossible, ops.CKKSError)
+
+
+def test_mul_div_pow2(ctx):
+    """pow2 meta-aware scaling (leveled/default/pow2.rs:26-80)."""
+    z = rand_slots()
+    c = enc_ct(ctx, z)
+    up = ck.mul_pow2(c, 3)
+    assert up.meta.log_delta == c.meta.log_delta
+    assert up.log_budget == c.log_budget
+    assert np.abs(dec_slots(ctx, up) - 8 * z).max() < 4e-5
+
+    dn = ck.div_pow2(c, 3)
+    assert dn.meta.log_delta == c.meta.log_delta + 3
+    assert dn.log_budget == c.log_budget - 3
+    assert np.abs(dec_slots(ctx, dn) - z / 8).max() < 4e-6
+
+    # mul_pow2 then div_pow2 round-trips the value (budget pays)
+    rt = ck.div_pow2(ck.mul_pow2(c, 4), 4)
+    assert np.abs(dec_slots(ctx, rt) - z).max() < 4e-6
+
+
+def test_mul_chain_depth3_rank2():
+    """Depth-3 multiply chain at rank 2 (the reference test_suite covers
+    leveled composition; rank-2 exercises the full tensor-key triangle
+    (0,0),(0,1),(1,1)).
+
+    Parameter note: the first mul's landing shift is 2·eff − δ = 2·78 − 18
+    = 138 bits, and the mask-wrap cross-terms (see CLAUDE.md / the
+    big-rational oracle analysis in test_core) demand k_ct exceed it by a
+    wide noise margin — hence k = 153 (9 limbs), mirroring the reference's
+    k=95-vs-eff=35 headroom (poulpy-ckks/examples/poly2.rs:48-61)."""
+    m = get_module(N, 4)
+    k_ct = k_key = 153
+    delta, log_budget = 18, 60   # 3 muls consume 3·18 = 54 budget bits
+    s = Source(b"\x21" * 32)
+    sk = enc.secret_new(m, 2, s)
+    skp = glwe_secret_prepare(m, sk)
+    xe, xa = Source(b"\x22" * 32), Source(b"\x23" * 32)
+    tsk = glwe_tensor_key_prepare(
+        m,
+        enc.glwe_tensor_key_encrypt_sk(
+            m, sk, skp, BASE2K, k_key, dnum=9, source_xe=xe, source_xa=xa
+        ),
+    )
+    encd = Encoder(N)
+    zs = [0.5 * rand_slots() for _ in range(4)]
+    cts = []
+    for z in zs:
+        pt = ck.encode(encd, z, BASE2K, k_ct, delta, log_budget)
+        cts.append(ck.encrypt_sk(m, pt, skp, k_ct, xe, xa))
+    out = cts[0]
+    want = zs[0]
+    for i in range(1, 4):
+        out = ck.mul(m, out, cts[i], tsk)
+        want = want * zs[i]
+    assert out.log_budget == log_budget - 3 * delta
+    assert out.glwe.rank == 2
+    pt = ck.decrypt(m, out, skp)
+    got = ck.decode(encd, pt)
+    assert np.abs(got - want).max() < 5e-4, np.abs(got - want).max()
