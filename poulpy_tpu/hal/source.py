@@ -32,8 +32,18 @@ def _rotl(x, n):
     return (x << np.uint32(n)) | (x >> np.uint32(32 - n))
 
 
-def _chacha_blocks(key_words: np.ndarray, counters: np.ndarray) -> np.ndarray:
-    """ChaCha8 blocks for an array of counters. Returns [B, 16] uint32."""
+def _chacha_blocks(
+    key_words: np.ndarray, counters: np.ndarray, double_rounds: int = 4
+) -> np.ndarray:
+    """ChaCha blocks for an array of counters. Returns [B, 16] uint32.
+
+    double_rounds=4 is ChaCha8 (the library's Source).  The parameter exists
+    so the test suite can run the SAME permutation core at 10 double-rounds
+    (ChaCha20) against an external known-answer anchor (OpenSSL via pyca
+    `cryptography`, tests/test_hal.py::test_chacha_core_openssl_kat) —
+    anchoring the constants, state layout, quarter-round, and final
+    feed-forward addition to an independent, widely-validated
+    implementation."""
     b = counters.shape[0]
     state = np.zeros((b, 16), dtype=np.uint32)
     state[:, 0:4] = _CONSTANTS
@@ -54,7 +64,7 @@ def _chacha_blocks(key_words: np.ndarray, counters: np.ndarray) -> np.ndarray:
         x[:, bb] = _rotl(x[:, bb] ^ x[:, c], 7)
 
     with np.errstate(over="ignore"):
-        for _ in range(4):  # 8 rounds = 4 double-rounds
+        for _ in range(double_rounds):  # ChaCha8 = 4 double-rounds
             qr(0, 4, 8, 12)
             qr(1, 5, 9, 13)
             qr(2, 6, 10, 14)
