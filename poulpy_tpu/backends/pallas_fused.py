@@ -346,6 +346,207 @@ def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
     return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
 
 
+def _ntt_rows_sl(x, wref, n, logn, p, qinv, stage_index, lazy=False):
+    """Forward Cooley–Tukey stages on the sublane/lane-split layout
+    [rows, S, 128] (S = N/128; element j ↦ (j//128, j%128)).
+
+    Butterflies with half ≥ 128 exchange across SUBLANES — realized as
+    slice arithmetic with NO rolls, masks, or selects, and the twiddle
+    multiply touches only the hi half of the data.  Butterflies with
+    half < 128 stay within one 128-lane register row, so their pltpu.roll
+    is a native single-register lane rotate instead of a synthesized
+    N-lane rotate across N/128 registers (BENCH_NOTES: a 2048-lane roll
+    ≈ several vector ops).  Lane stages keep the paired-row trick (one
+    twiddle multiply per row pair) when rows is even.
+
+    Same arithmetic mod p as _ntt_rows/_ntt_rows_paired (lazy: values in
+    [0, 2p) between stages)."""
+    S = x.shape[-2]
+    nsub = max(0, S.bit_length() - 1)
+    two_p = jnp.int32(2 * p)
+    for s in range(nsub):
+        half = n >> (s + 1)
+        hs = half // 128
+        w = wref[s, stage_index]
+        parts = []
+        for b0 in range(0, S, 2 * hs):
+            lo = x[:, b0 : b0 + hs]
+            hi = x[:, b0 + hs : b0 + 2 * hs]
+            wv = w[b0 + hs : b0 + 2 * hs]
+            if lazy:
+                y = mont_mul_i32_lazy(hi, wv, p, qinv)
+                parts.append(_csub(lo + y, 2 * p))
+                parts.append(_csub(lo - y + two_p, 2 * p))
+            else:
+                y = mont_mul_i32(hi, wv, p, qinv)
+                parts.append(_add_mod(lo, y, p))
+                parts.append(_sub_mod(lo, y, p))
+        x = jnp.concatenate(parts, axis=1)
+
+    rows = x.shape[0]
+    if rows % 2 == 0 and nsub < logn:
+        h = rows // 2
+        a = x[:h]
+        b = x[h:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+        for s in range(nsub, logn):
+            half = n >> (s + 1)
+            w = wref[s, stage_index]
+            mask = (lane & (2 * half - 1)) < half
+            c = jnp.where(
+                mask, pltpu.roll(b, jnp.int32(128 - half), axis=2), a
+            )
+            if lazy:
+                yc = mont_mul_i32_lazy(c, w, p, qinv)
+            else:
+                yc = mont_mul_i32(c, w, p, qinv)
+            ya = jnp.where(
+                mask, pltpu.roll(yc, jnp.int32(128 - half), axis=2), yc
+            )
+            yb = jnp.where(mask, yc, pltpu.roll(yc, jnp.int32(half), axis=2))
+            if lazy:
+                a = _csub(jnp.where(
+                    mask, a + ya,
+                    pltpu.roll(a, jnp.int32(half), axis=2) - ya + 2 * p,
+                ), 2 * p)
+                b = _csub(jnp.where(
+                    mask, b + yb,
+                    pltpu.roll(b, jnp.int32(half), axis=2) - yb + 2 * p,
+                ), 2 * p)
+            else:
+                a = jnp.where(
+                    mask,
+                    _add_mod(a, ya, p),
+                    _sub_mod(pltpu.roll(a, jnp.int32(half), axis=2), ya, p),
+                )
+                b = jnp.where(
+                    mask,
+                    _add_mod(b, yb, p),
+                    _sub_mod(pltpu.roll(b, jnp.int32(half), axis=2), yb, p),
+                )
+        return jnp.concatenate([a, b], axis=0)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+    for s in range(nsub, logn):
+        half = n >> (s + 1)
+        w = wref[s, stage_index]
+        mask = (lane & (2 * half - 1)) < half
+        if lazy:
+            y = mont_mul_i32_lazy(x, w, p, qinv)
+            lo_new = x + pltpu.roll(y, jnp.int32(128 - half), axis=2)
+            hi_new = pltpu.roll(x, jnp.int32(half), axis=2) - y + 2 * p
+            x = _csub(jnp.where(mask, lo_new, hi_new), 2 * p)
+        else:
+            y = mont_mul_i32(x, w, p, qinv)
+            lo_new = _add_mod(
+                x, pltpu.roll(y, jnp.int32(128 - half), axis=2), p
+            )
+            hi_new = _sub_mod(pltpu.roll(x, jnp.int32(half), axis=2), y, p)
+            x = jnp.where(mask, lo_new, hi_new)
+    return x
+
+
+def _intt_rows_sl(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
+                  lazy=False):
+    """Inverse Gentleman–Sande stages + N^{-1} scale on the sublane/lane
+    split layout [rows, S, 128] (see _ntt_rows_sl): lane stages first
+    (paired when rows even), then roll-free sublane stages."""
+    S = x.shape[-2]
+    nsub = max(0, S.bit_length() - 1)
+    nlane = logn - nsub
+    two_p = jnp.int32(2 * p)
+
+    rows = x.shape[0]
+    if rows % 2 == 0 and nlane > 0:
+        h = rows // 2
+        a = x[:h]
+        b = x[h:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 2)
+        for si in range(nlane):
+            s = logn - 1 - si
+            half = n >> (s + 1)
+            w = wref[si, stage_index]
+            mask = (lane & (2 * half - 1)) < half
+            if lazy:
+                da = pltpu.roll(a, jnp.int32(half), axis=2) - a + 2 * p
+                db = pltpu.roll(b, jnp.int32(half), axis=2) - b + 2 * p
+            else:
+                da = _sub_mod(pltpu.roll(a, jnp.int32(half), axis=2), a, p)
+                db = _sub_mod(pltpu.roll(b, jnp.int32(half), axis=2), b, p)
+            c = jnp.where(
+                mask, pltpu.roll(db, jnp.int32(128 - half), axis=2), da
+            )
+            if lazy:
+                vc = mont_mul_i32_lazy(c, w, p, qinv)
+                ua = a + pltpu.roll(a, jnp.int32(128 - half), axis=2)
+                ub = b + pltpu.roll(b, jnp.int32(128 - half), axis=2)
+                a = _csub(jnp.where(mask, ua, vc), 2 * p)
+                b = _csub(jnp.where(
+                    mask, ub, pltpu.roll(vc, jnp.int32(half), axis=2)
+                ), 2 * p)
+            else:
+                vc = mont_mul_i32(c, w, p, qinv)
+                ua = _add_mod(
+                    a, pltpu.roll(a, jnp.int32(128 - half), axis=2), p
+                )
+                ub = _add_mod(
+                    b, pltpu.roll(b, jnp.int32(128 - half), axis=2), p
+                )
+                a = jnp.where(mask, ua, vc)
+                b = jnp.where(
+                    mask, ub, pltpu.roll(vc, jnp.int32(half), axis=2)
+                )
+        x = jnp.concatenate([a, b], axis=0)
+    elif nlane > 0:
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 2)
+        for si in range(nlane):
+            s = logn - 1 - si
+            half = n >> (s + 1)
+            w = wref[si, stage_index]
+            mask = (lane & (2 * half - 1)) < half
+            partner = jnp.where(
+                mask,
+                pltpu.roll(x, jnp.int32(128 - half), axis=2),
+                pltpu.roll(x, jnp.int32(half), axis=2),
+            )
+            if lazy:
+                u = x + partner
+                v = mont_mul_i32_lazy(partner - x + 2 * p, w, p, qinv)
+                x = _csub(jnp.where(mask, u, v), 2 * p)
+            else:
+                u = _add_mod(x, partner, p)
+                v = mont_mul_i32(_sub_mod(partner, x, p), w, p, qinv)
+                x = jnp.where(mask, u, v)
+
+    for si in range(nlane, logn):
+        s = logn - 1 - si
+        half = n >> (s + 1)
+        hs = half // 128
+        w = wref[si, stage_index]
+        parts = []
+        for b0 in range(0, S, 2 * hs):
+            lo = x[:, b0 : b0 + hs]
+            hi = x[:, b0 + hs : b0 + 2 * hs]
+            wv = w[b0 + hs : b0 + 2 * hs]
+            if lazy:
+                parts.append(_csub(lo + hi, 2 * p))
+                parts.append(
+                    mont_mul_i32_lazy(lo - hi + two_p, wv, p, qinv)
+                )
+            else:
+                parts.append(_add_mod(lo, hi, p))
+                parts.append(
+                    mont_mul_i32(_sub_mod(lo, hi, p), wv, p, qinv)
+                )
+        x = jnp.concatenate(parts, axis=1)
+
+    if lazy:
+        return _csub(
+            mont_mul_i32_lazy(x, jnp.int32(ninv_mont), p, qinv), p
+        )
+    return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
+
+
 def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False):
     """Forward Cooley–Tukey stages on [rows, N] for one prime (scalar p).
 
@@ -443,8 +644,9 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
     mdim = co * psize
     lazy = lazy_ok(primes)
     i32_cap = 1 << 31
-    x = a_ref[...]                          # [T·cols·size_a, N] small limbs
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    x = a_ref[...]         # [T·cols·size_a, N] or [T·cols·size_a, S, 128]
+    sl = x.ndim == 3       # sublane/lane-split layout (see _ntt_rows_sl)
+    tail = x.shape[1:]
 
     ys = []
     for pi, p in enumerate(primes):
@@ -461,12 +663,15 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
             # residues: |x| < 2^29 < 2p ⇒ one conditional add + one csub
             r = jnp.where(x < 0, x + jnp.int32(2 * p), x)
             r = jnp.where(r >= p, r - p, r)
-        if r.shape[0] % 2 == 0:
+        if sl:
+            r = _ntt_rows_sl(r, wf_ref, n, logn, p, qinv, pi, lazy)
+        elif r.shape[0] % 2 == 0:
             r = _ntt_rows_paired(r, wf_ref, n, logn, p, qinv, pi, lazy)
         else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
             r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi, lazy)
-        r4 = r.reshape(t_tile, cols, size_a, n)[:, :, :rmax, :]
-        r4 = r4.reshape(t_tile, kk, n)      # [0, 2p) when lazy else [0, p)
+        r4 = r.reshape(t_tile, cols, size_a, *tail)[:, :, :rmax]
+        r4 = r4.reshape(t_tile, kk, *tail)  # [0, 2p) when lazy else [0, p)
         add = None
         add_b = 0                           # static value bound (lazy mode)
         for bi in range(block):
@@ -482,8 +687,8 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                     ks = range(k0, min(k0 + 16, kk))
                     hi = lo = None
                     for k in ks:
-                        ak = r4[:, k, :][:, None, :]             # < 2p
-                        bk = pm_ref[pi, bi, k][None, :, :]       # < p
+                        ak = r4[:, k][:, None]                   # < 2p
+                        bk = pm_ref[pi, bi, k][None]             # < p
                         ph, plo = _mul_pair_30x28(ak, bk)
                         if hi is None:
                             hi, lo = ph, plo
@@ -501,8 +706,8 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                         acc_b += t_b
             else:
                 for k in range(kk):
-                    ak = r4[:, k, :][:, None, :]
-                    bk = pm_ref[pi, bi, k][None, :, :]
+                    ak = r4[:, k][:, None]
+                    bk = pm_ref[pi, bi, k][None]
                     term = mont_mul_i32(ak, bk, p, qinv)         # [T, M, N]
                     acc = term if acc is None else _add_mod(acc, term, p)
             if rotate:
@@ -513,10 +718,10 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                 if lazy:
                     if acc_b > min(4 * p, 1 << 30):
                         acc = _lazy_reduce(acc, acc_b, p, 2 * p)
-                    acc = mont_mul_i32_lazy(acc, xp[:, None, :], p, qinv)
+                    acc = mont_mul_i32_lazy(acc, xp[:, None], p, qinv)
                     acc_b = 2 * p
                 else:
-                    acc = mont_mul_i32(acc, xp[:, None, :], p, qinv)
+                    acc = mont_mul_i32(acc, xp[:, None], p, qinv)
             if add is None:
                 add, add_b = acc, acc_b
             elif lazy:
@@ -532,8 +737,11 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                 add = _add_mod(add, acc, p)
         if lazy:
             add = _lazy_reduce(add, add_b, p, 2 * p)
-        y = add.reshape(t_tile * mdim, n)
-        if y.shape[0] % 2 == 0:
+        y = add.reshape(t_tile * mdim, *tail)
+        if sl:
+            ys.append(_intt_rows_sl(y, wi_ref, n, logn, p, qinv,
+                                    ninvs[pi], pi, lazy))
+        elif y.shape[0] % 2 == 0:
             ys.append(_intt_rows_paired(y, wi_ref, n, logn, p, qinv,
                                         ninvs[pi], pi, lazy))
         else:
@@ -543,23 +751,23 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
 
     hi, lo = garner_center_pairs(ys, primes, qinvs, basis)  # [T·M, N]
 
-    hi = hi.reshape(t_tile, co, psize, n)
-    lo = lo.reshape(t_tile, co, psize, n)
-    his = [[hi[:, c, j, :] for j in range(psize)] for c in range(co)]
-    los = [[lo[:, c, j, :] for j in range(psize)] for c in range(co)]
+    hi = hi.reshape(t_tile, co, psize, *tail)
+    lo = lo.reshape(t_tile, co, psize, *tail)
+    his = [[hi[:, c, j] for j in range(psize)] for c in range(co)]
+    los = [[lo[:, c, j] for j in range(psize)] for c in range(co)]
 
     # --- + acc (block-binary carry) or + body (keyswitch), sign-extended ---
     if add_acc:
-        x4 = x.reshape(t_tile, cols, size_a, n)
+        x4 = x.reshape(t_tile, cols, size_a, *tail)
         for c in range(min(cols, co)):
             for j in range(min(size_a, psize)):
-                sj = x4[:, c, j, :]
+                sj = x4[:, c, j]
                 his[c][j], los[c][j] = _add64(his[c][j], los[c][j],
                                               sj >> 31, sj)
     if s_size:
-        sm = sm_ref[...].reshape(t_tile, s_size, n)
+        sm = sm_ref[...].reshape(t_tile, s_size, *tail)
         for j in range(min(s_size, psize)):
-            sj = sm[:, j, :]
+            sj = sm[:, j]
             his[0][j], los[0][j] = _add64(his[0][j], los[0][j], sj >> 31, sj)
 
     # --- + per-column 64-bit terms (tensor-relinearize linear parts), as
@@ -567,16 +775,16 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
     # output is longer than the key psize) — extend with zero pairs --------
     ext_size = max(psize, s64_size)
     if s64_size:
-        zero = jnp.zeros((t_tile, n), jnp.int32)
+        zero = jnp.zeros((t_tile,) + tail, jnp.int32)
         for c in range(co):
             his[c] += [zero] * (ext_size - psize)
             los[c] += [zero] * (ext_size - psize)
-        h4 = s64h_ref[...].reshape(t_tile, co, s64_size, n)
-        l4 = s64l_ref[...].reshape(t_tile, co, s64_size, n)
+        h4 = s64h_ref[...].reshape(t_tile, co, s64_size, *tail)
+        l4 = s64l_ref[...].reshape(t_tile, co, s64_size, *tail)
         for c in range(co):
             for j in range(s64_size):
                 his[c][j], los[c][j] = _add64(
-                    his[c][j], los[c][j], h4[:, c, j, :], l4[:, c, j, :]
+                    his[c][j], los[c][j], h4[:, c, j], l4[:, c, j]
                 )
 
     # --- bit-window telescoping + i32 carry scan (per output column) -------
@@ -587,7 +795,7 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                               offset)
         )
     o_ref[...] = jnp.stack(out_rows, axis=1).reshape(
-        t_tile * co * res_size, n
+        (t_tile * co * res_size,) + tail
     )
 
 
@@ -611,6 +819,14 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
         res_size, kr, ka, offset, block, rotate, add_acc, s_size, s64_size,
     )
     rows_a = cols * size_a
+    # sublane/lane-split layout (see _ntt_rows_sl): reshape every [..., N]
+    # operand to [..., S, 128] — free at the XLA level (contiguous view) —
+    # so sublane butterflies become slice arithmetic and lane rolls stay
+    # within one 128-lane register
+    sl = (n % 128 == 0 and n >= 128
+          and os.environ.get("POULPY_TPU_SL", "1") != "0")
+    tail = (n // 128, 128) if sl else (n,)
+    zi = (0,) * len(tail)
 
     def fn(a, pm, xp=None, sm=None, s64h=None, s64l=None):
         # a: [Bp·cols·size_a, N] i32; pm: [P, block, KK, M, N] i32
@@ -618,52 +834,62 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
         bp = a.shape[0] // rows_a
         grid = (bp // t_tile,)
         in_specs = [
-            pl.BlockSpec((t_tile * rows_a, n), lambda bi: (bi, 0),
+            pl.BlockSpec((t_tile * rows_a,) + tail,
+                         lambda bi: (bi,) + zi, memory_space=pltpu.VMEM),
+            pl.BlockSpec((logn, P) + tail, lambda bi: (0, 0) + zi,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
+            pl.BlockSpec((logn, P) + tail, lambda bi: (0, 0) + zi,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, block, kk, mdim, n), lambda bi: (0, 0, 0, 0, 0),
+            pl.BlockSpec((P, block, kk, mdim) + tail,
+                         lambda bi: (0, 0, 0, 0) + zi,
                          memory_space=pltpu.VMEM),
         ]
-        args = [a, jnp.asarray(wf), jnp.asarray(wi), pm]
+        args = [
+            a.reshape(a.shape[:1] + tail),
+            jnp.asarray(wf).reshape(wf.shape[:2] + tail),
+            jnp.asarray(wi).reshape(wi.shape[:2] + tail),
+            pm.reshape(pm.shape[:4] + tail),
+        ]
         if rotate:
             in_specs.append(
-                pl.BlockSpec((P, block, t_tile, n), lambda bi: (0, 0, bi, 0),
+                pl.BlockSpec((P, block, t_tile) + tail,
+                             lambda bi: (0, 0, bi) + zi,
                              memory_space=pltpu.VMEM)
             )
-            args.append(xp)
+            args.append(xp.reshape(xp.shape[:3] + tail))
         if s_size:
             in_specs.append(
-                pl.BlockSpec((t_tile * s_size, n), lambda bi: (bi, 0),
+                pl.BlockSpec((t_tile * s_size,) + tail,
+                             lambda bi: (bi,) + zi,
                              memory_space=pltpu.VMEM)
             )
-            args.append(sm)
+            args.append(sm.reshape(sm.shape[:1] + tail))
         if s64_size:
             for arr in (s64h, s64l):
                 in_specs.append(
-                    pl.BlockSpec((t_tile * co * s64_size, n),
-                                 lambda bi: (bi, 0),
+                    pl.BlockSpec((t_tile * co * s64_size,) + tail,
+                                 lambda bi: (bi,) + zi,
                                  memory_space=pltpu.VMEM)
                 )
-                args.append(arr)
+                args.append(arr.reshape(arr.shape[:1] + tail))
         with jax.enable_x64(False):
-            return pl.pallas_call(
+            out = pl.pallas_call(
                 kernel,
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=pl.BlockSpec(
-                    (t_tile * co * res_size, n), lambda bi: (bi, 0),
+                    (t_tile * co * res_size,) + tail,
+                    lambda bi: (bi,) + zi,
                     memory_space=pltpu.VMEM,
                 ),
                 out_shape=jax.ShapeDtypeStruct(
-                    (bp * co * res_size, n), jnp.int32
+                    (bp * co * res_size,) + tail, jnp.int32
                 ),
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024,
                 ),
             )(*args)
+        return out.reshape(bp * co * res_size, n)
 
     return fn
 

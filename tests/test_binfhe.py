@@ -199,6 +199,7 @@ def test_circuit_bootstrap_to_constant(br_ctx):
     assert err <= 1024, err
 
 
+@pytest.mark.slow  # superseded by tests/test_bdd_circuits.py encrypted sweep
 def test_fheuint_bdd_add(br_ctx):
     """End-to-end BDD arithmetic: prepared 4-bit uints through the add
     circuit (bdd_arithmetic test_suite analogue, scaled to toy params)."""

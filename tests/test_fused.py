@@ -77,14 +77,21 @@ def test_garner_normalize_kernel(nprimes, psize, res_size, kr, ka, offset, s_siz
     assert np.array_equal(np.asarray(have), np.asarray(want))
 
 
-@pytest.mark.parametrize("nprimes,prime_bits", [(2, 30), (4, 30), (2, 28)])
+@pytest.mark.parametrize(
+    "nprimes,prime_bits",
+    [
+        (2, 30),
+        pytest.param(4, 30, marks=pytest.mark.slow),
+        (2, 28),
+    ],
+)
 @pytest.mark.parametrize(
     "ci,co,rows,size_a,psize,batch",
     [
         (2, 2, 3, 3, 4, 4),     # rank-1 external product (bench config shape)
-        (1, 2, 4, 4, 4, 3),     # rank-1 keyswitch mask
-        (3, 3, 2, 3, 3, 1),     # rank-2, a_size > rows
-        (2, 2, 4, 3, 4, 5),     # rows > a_size
+        pytest.param(1, 2, 4, 4, 4, 3, marks=pytest.mark.slow),  # ks mask
+        pytest.param(3, 3, 2, 3, 3, 1, marks=pytest.mark.slow),  # rank-2
+        pytest.param(2, 2, 4, 3, 4, 5, marks=pytest.mark.slow),  # rows>a
     ],
 )
 def test_fused_glwe_product_matches_jnp(nprimes, prime_bits, ci, co, rows,
@@ -114,7 +121,12 @@ def test_fused_glwe_product_matches_jnp(nprimes, prime_bits, ci, co, rows,
 @pytest.mark.parametrize("prime_bits", [30, 28])
 @pytest.mark.parametrize(
     "dsize,rows,size_a",
-    [(2, 3, 6), (2, 3, 5), (3, 2, 6), (2, 4, 3)],
+    [
+        (2, 3, 6),
+        pytest.param(2, 3, 5, marks=pytest.mark.slow),
+        pytest.param(3, 2, 6, marks=pytest.mark.slow),
+        pytest.param(2, 4, 3, marks=pytest.mark.slow),
+    ],
 )
 def test_fused_glwe_product_dsize_matches_jnp(prime_bits, dsize, rows,
                                               size_a):
@@ -181,7 +193,9 @@ def test_fused_keyswitch_small_add_matches_jnp():
 
 
 @pytest.mark.parametrize("prime_bits", [30, 28])
-@pytest.mark.parametrize("s64_size", [4, 7])
+@pytest.mark.parametrize(
+    "s64_size", [4, pytest.param(7, marks=pytest.mark.slow)]
+)
 def test_fused_product_small64_matches_jnp(prime_bits, s64_size):
     """Per-column 64-bit add terms (tensor-relinearize linear parts): the
     fused kernel must reproduce idft → per-column aligned big add →
@@ -222,7 +236,12 @@ def test_fused_product_small64_matches_jnp(prime_bits, s64_size):
 
 
 @pytest.mark.parametrize(
-    "nprimes,prime_bits,batch", [(2, 30, 3), (4, 30, 1), (2, 28, 3)]
+    "nprimes,prime_bits,batch",
+    [
+        (2, 30, 3),
+        pytest.param(4, 30, 1, marks=pytest.mark.slow),
+        pytest.param(2, 28, 3, marks=pytest.mark.slow),
+    ],
 )
 def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch):
     """One fused block-binary CGGI step vs the stage-by-stage jnp math
@@ -316,7 +335,9 @@ def test_fused_crypto_roundtrip():
     assert np.array_equal(np.asarray(have), np.asarray(want.data))
 
 
-@pytest.mark.parametrize("prime_bits", [30, 28])
+@pytest.mark.parametrize(
+    "prime_bits", [pytest.param(30, marks=pytest.mark.slow), 28]
+)
 def test_tensor_relinearize_fused_matches_jnp(monkeypatch, prime_bits):
     """The rank-1 relinearize fast path must reproduce the stage-by-stage
     jnp path bit-exactly — prime_bits=28 routes the tensor product through

@@ -30,13 +30,15 @@ def _rand_residues(basis, shape):
     return jnp.asarray(out)
 
 
-@pytest.mark.parametrize("nprimes", [2, 4])
+@pytest.mark.parametrize(
+    "nprimes", [2, pytest.param(4, marks=pytest.mark.slow)]
+)
 @pytest.mark.parametrize(
     "ci,co,rows,size_a,psize,batch",
     [
         (2, 2, 3, 3, 4, 4),     # rank-1 external product (bench config shape)
-        (1, 2, 4, 4, 4, 3),     # rank-1 keyswitch mask
-        (2, 2, 4, 3, 4, 2),     # rows > a_size
+        pytest.param(1, 2, 4, 4, 4, 3, marks=pytest.mark.slow),  # ks mask
+        pytest.param(2, 2, 4, 3, 4, 2, marks=pytest.mark.slow),  # rows>a
     ],
 )
 def test_fused_mxu_product_matches_jnp(nprimes, ci, co, rows, size_a, psize,

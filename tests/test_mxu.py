@@ -15,7 +15,9 @@ from poulpy_tpu.hal.module import get_module
 from poulpy_tpu.hal.ntt import ntt_forward, ntt_inverse, to_residues
 
 
-@pytest.mark.parametrize("n", [64, 256])
+@pytest.mark.parametrize(
+    "n", [64, pytest.param(256, marks=pytest.mark.slow)]
+)
 @pytest.mark.parametrize("nprimes", [2, 4])
 def test_mxu_forward_matches_jnp(n, nprimes):
     m = get_module(n, nprimes)
@@ -29,7 +31,9 @@ def test_mxu_forward_matches_jnp(n, nprimes):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("n", [64, 256])
+@pytest.mark.parametrize(
+    "n", [64, pytest.param(256, marks=pytest.mark.slow)]
+)
 def test_mxu_forward_residues_matches_jnp(n):
     m = get_module(n, 2)
     t = m.tables
@@ -41,7 +45,9 @@ def test_mxu_forward_residues_matches_jnp(n):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-@pytest.mark.parametrize("n", [64, 256])
+@pytest.mark.parametrize(
+    "n", [64, pytest.param(256, marks=pytest.mark.slow)]
+)
 @pytest.mark.parametrize("nprimes", [2, 4])
 def test_mxu_inverse_matches_jnp(n, nprimes):
     m = get_module(n, nprimes)
@@ -97,7 +103,9 @@ def test_digitize_exact():
     np.testing.assert_array_equal(back, np.asarray(x))
 
 
-@pytest.mark.parametrize("s_size", [0, 3])
+@pytest.mark.parametrize(
+    "s_size", [0, pytest.param(3, marks=pytest.mark.slow)]
+)
 def test_mxu_glwe_product_matches_jnp(s_size):
     """Full MXU pipeline (matmul NTT -> VMP -> matmul iNTT -> kernel B) vs
     the stage-by-stage jnp path, bit-exact."""

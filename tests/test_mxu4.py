@@ -10,7 +10,9 @@ from poulpy_tpu.hal.module import get_module
 from poulpy_tpu.hal.ntt import ntt_forward, ntt_inverse, to_residues
 
 
-@pytest.mark.parametrize("n", [64, 256])
+@pytest.mark.parametrize(
+    "n", [64, pytest.param(256, marks=pytest.mark.slow)]
+)
 @pytest.mark.parametrize("nprimes", [2, 4])
 def test_mxu4_forward_matches_jnp_up_to_sigma(n, nprimes):
     m = get_module(n, nprimes)
@@ -25,7 +27,9 @@ def test_mxu4_forward_matches_jnp_up_to_sigma(n, nprimes):
     np.testing.assert_array_equal(got, want[..., pi])
 
 
-@pytest.mark.parametrize("n", [64, 256])
+@pytest.mark.parametrize(
+    "n", [64, pytest.param(256, marks=pytest.mark.slow)]
+)
 def test_mxu4_inverse_roundtrip(n):
     m = get_module(n, 2)
     t = m.tables
@@ -79,7 +83,9 @@ def test_mxu4_pointwise_product_roundtrip():
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("n", [256, 512])
+@pytest.mark.parametrize(
+    "n", [256, pytest.param(512, marks=pytest.mark.slow)]
+)
 def test_pallas_mxu_matches_mxu4(n):
     """Fused Pallas MXU kernels == the XLA einsum transforms, bit-exact."""
     from jax.experimental.pallas import tpu as pltpu

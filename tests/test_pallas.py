@@ -19,7 +19,9 @@ from poulpy_tpu.hal.ntt import ntt_forward, ntt_inverse, to_residues
 RNG = np.random.default_rng(3)
 
 
-@pytest.mark.parametrize("n", [128, 512])
+@pytest.mark.parametrize(
+    "n", [128, pytest.param(512, marks=pytest.mark.slow)]
+)
 @pytest.mark.parametrize("nprimes,prime_bits", [(2, 30), (4, 30), (2, 28)])
 def test_pallas_ntt_matches_jnp(n, nprimes, prime_bits):
     # prime_bits=28 exercises the lazy-reduction (Harvey) butterflies
