@@ -9,10 +9,13 @@ ct k=51 (3 limbs), GGSW k=68 (dnum 3, rank 1, dsize 1) — the CGGI blind
 rotation inner loop.  Throughput comes from the batch axis: one jitted
 pipeline evaluates B external products at once.
 
-`vs_baseline`: the reference publishes no numbers (BASELINE.md), so the
-denominator is an order-of-magnitude estimate of poulpy-cpu-avx single-core
-throughput for the same op (~30k ext-products/s at N=2048: ~3µs AVX2
-FFT(2048) × 8 forward/inverse transforms + vmp).  See BENCH_NOTES.md.
+`vs_baseline`: the reference publishes no numbers (BASELINE.md); the
+denominator is MEASURED on this machine by
+poulpy_tpu/native/baseline_bench.cpp — a single-thread C++ twin of the
+reference FFT64/AVX external product (four-step reim FFT, exact-oracle
+gated), g++ -O3 -march=native on this AVX-512 host: 9.0k ext-products/s
+(best of 3, quiet machine).  Methodology + sensitivity in BENCH_NOTES.md
+"baseline denominator".
 """
 
 import json
@@ -36,7 +39,8 @@ from poulpy_tpu.hal import vec_znx
 from poulpy_tpu.hal.module import get_module
 from poulpy_tpu.hal.source import Source
 
-AVX2_BASELINE_EXT_PRODUCTS_PER_S = 30_000.0
+# measured 2026-08-20: {9023, 8857, 8586}/s over 3 runs (baseline_bench.cpp)
+AVX2_BASELINE_EXT_PRODUCTS_PER_S = 9_000.0
 
 N = 2048
 BASE2K = 17

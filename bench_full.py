@@ -197,9 +197,13 @@ def bench_ckks_mul(batch=256, iters=5):
 
 def main():
     gbs = bench_gate_bootstrap()
+    # denominator: derived CPU block-binary gate bootstrap ~310/s
+    # (measured baseline_bench.cpp phase costs scaled to N=1024;
+    # BENCH_NOTES.md "baseline denominator")
     print(json.dumps({
         "metric": "gate_bootstraps_per_s_chip_nand_n1024",
-        "value": round(gbs, 1), "unit": "bootstraps/s", "vs_baseline": None,
+        "value": round(gbs, 1), "unit": "bootstraps/s",
+        "vs_baseline": round(gbs / 310.0, 3),
     }))
     p50 = bench_keyswitch()
     print(json.dumps({

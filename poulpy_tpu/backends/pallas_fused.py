@@ -824,7 +824,7 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
     # so sublane butterflies become slice arithmetic and lane rolls stay
     # within one 128-lane register
     sl = (n % 128 == 0 and n >= 128
-          and os.environ.get("POULPY_TPU_SL", "1") != "0")
+          and os.environ.get("POULPY_TPU_SL", "0") != "0")
     tail = (n // 128, 128) if sl else (n,)
     zi = (0,) * len(tail)
 
