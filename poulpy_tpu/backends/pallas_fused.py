@@ -977,8 +977,10 @@ def fused_supported(module: Module, psize: int, res_base2k: int) -> bool:
     return res_base2k + (psize + 1).bit_length() <= 31 and res_base2k <= 26
 
 
-_T_TILE = int(os.environ.get("POULPY_TPU_TTILE", "8"))
-_VMEM_BUDGET_MB = int(os.environ.get("POULPY_TPU_VMEM_MB", "10"))
+_T_TILE = int(os.environ.get("POULPY_TPU_TTILE", "32"))
+# t-tile re-sweep 2026-08-20 (deferred-REDC kernel, B=16384): t8 102.6k,
+# t16 106.9k, t32@24MB 110.0k ext-products/s
+_VMEM_BUDGET_MB = int(os.environ.get("POULPY_TPU_VMEM_MB", "24"))
 
 
 def _pick_tile(n, P, cols, size_a, rmax, co, psize, block, b_tot,
@@ -1001,6 +1003,9 @@ def _pick_tile(n, P, cols, size_a, rmax, co, psize, block, b_tot,
 
     while t_tile > 1 and vmem_bytes(t_tile) > _VMEM_BUDGET_MB * (1 << 20):
         t_tile -= 1
+    if t_tile > 4:
+        # keep block row counts 8-divisible (Mosaic tiling constraint)
+        t_tile = 1 << (t_tile.bit_length() - 1)
     return t_tile
 
 

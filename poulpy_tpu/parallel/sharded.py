@@ -185,3 +185,118 @@ def sharded_external_product_ring_fn(
         check_vma=False,
     )
     return jax.jit(shard)
+
+
+def sharded_blind_rotation_block_fn(
+    module: Module,
+    mesh,
+    lut,                      # binfhe.lut.LookupTable (ext == 1)
+    brk,                      # binfhe.blind_rotation.BlindRotationKeyPrepared
+    block_size: int,
+    axis: str = "kp",
+):
+    """Block-binary CGGI blind rotation with the **blind-rotation key
+    sharded over `axis`** — the first capability a single chip cannot
+    replicate when the BRK exceeds HBM (VERDICT r2 item 10).
+
+    The BRK is the big tensor of the scheme (n_lwe × dnum × (rank+1)² ×
+    psize × P × N int32 — e.g. ~0.9 GB at N=2048/n_lwe=568/dnum=3 and
+    several GB at N=4096): each device stores only block members
+    i ≡ device (mod kp).  Within one block step the members' contributions
+    are independent given the accumulator
+    (algorithm.rs:275-368: acc += Σ_i (X^{a_i}−1)·(BRK_i ⊡ acc)), so a
+    step is a LOCAL VMP + x-power rotate per device, one `psum` of the
+    NTT-domain update over kp (sum-then-reduce is exact: D·p < 2^63, and
+    mod-p is a ring hom, so the canonical residues match the sequential
+    dft_add chain bit-for-bit), then the replicated accumulator update.
+    The ciphertext batch shards over `dp` as usual.
+
+    Returns fn(lwe: LWECiphertext[B, ...]) → acc data [B, rank+1, size, N],
+    bit-exact vs blind_rotation_execute_block.
+    """
+    from poulpy_tpu.binfhe.blind_rotation import _xpow_table, mod_switch_2n
+    from poulpy_tpu.hal.ntt import mont_mul
+
+    assert lut.extension_factor == 1
+    t = module.tables
+    n = module.n
+    base2k = brk.base2k
+    size = lut.size
+    rank = brk.rank
+    n_lwe = brk.n_lwe
+    d = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    assert n_lwe % block_size == 0 and block_size % d == 0, (
+        n_lwe, block_size, d)
+    nblocks = n_lwe // block_size
+    bs_local = block_size // d
+    xpow = jnp.asarray(_xpow_table(n, module.basis.primes))
+    p_bc = t.p[:, None]
+    qinv_bc = t.qinv[:, None]
+
+    def local_step(b, a_blk, pm_blk, lut_data):
+        # b [Bl]; a_blk [nblocks, bs_local, Bl];
+        # pm_blk [nblocks, bs_local, rows, ci, co, psize, P, N]
+        from poulpy_tpu.hal.vec_znx import vec_znx_rotate
+
+        batch = b.shape
+        body = vec_znx_rotate(b[..., None], lut_data[0])
+        acc0 = jnp.concatenate(
+            [body[..., None, :, :],
+             jnp.zeros(batch + (rank, size, n), jnp.int64)], axis=-3
+        )
+
+        def block_step(acc, inputs):
+            a_i, pm_i = inputs
+            acc_dft = dft.dft_apply(module, acc)
+            add_dft = None
+            for i in range(bs_local):
+                vmp_res = dft.vmp_apply(module, acc_dft, pm_i[i])
+                apos = a_i[i] & (2 * n - 1)
+                xp = jnp.take(xpow, apos, axis=0)         # [Bl, P, N]
+                rot = mont_mul(
+                    vmp_res, xp[..., None, None, :, :], p_bc, qinv_bc
+                )
+                term = dft.dft_sub(module, rot, vmp_res)
+                add_dft = (term if add_dft is None
+                           else dft.dft_add(module, add_dft, term))
+            # plain sum over kp widened to i64 (DFT residues are i32 and
+            # d·p overflows i32), one exact mod-p afterwards == the
+            # sequential dft_add chain (mod-p is a ring hom)
+            add_dft = (
+                jax.lax.psum(add_dft.astype(jnp.int64), axis) % p_bc
+            ).astype(jnp.int32)
+            big = dft.idft_apply(module, add_dft)
+            big = big + dft._align_limbs(
+                acc, big, big.shape[-2], limb_axis=-2
+            )[0]
+            return dft.big_normalize(module, size, base2k, big, base2k), None
+
+        acc, _ = jax.lax.scan(block_step, acc0, (a_blk, pm_blk))
+        return acc
+
+    shard = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("dp"),                 # mod-switched bodies (batch)
+            P(None, axis, "dp"),     # rotation amounts: block members / kp
+            P(None, axis),           # BRK: block members sharded over kp
+            P(),                     # LUT replicated
+        ),
+        out_specs=P("dp"),
+        check_vma=False,
+    )
+
+    def fn(lwe):
+        lwe_2n = mod_switch_2n(2 * n, lwe, lut.rot_dir)
+        b = lwe_2n[..., 0]
+        a = lwe_2n[..., 1:]
+        a_blk = jnp.moveaxis(a, -1, 0).reshape(
+            (nblocks, block_size) + b.shape
+        )
+        pm_blk = brk.pmats.reshape(
+            (nblocks, block_size) + brk.pmats.shape[1:]
+        )
+        return shard(b, a_blk, pm_blk, lut.data)
+
+    return jax.jit(fn)

@@ -180,3 +180,53 @@ def test_sharded_ntt_matches_single_device():
     assert np.array_equal(np.asarray(have_f), np.asarray(want_f))
     back = inv(have_f)
     assert np.array_equal(np.asarray(back), np.asarray(r))
+
+
+def test_sharded_brk_blind_rotation_matches():
+    """BRK sharded over kp (4 devices) × dp=2 batch: bit-exact vs the
+    single-device block-binary path, and the LUT values decode."""
+    from poulpy_tpu.binfhe.blind_rotation import (
+        blind_rotation_execute_block,
+        blind_rotation_key_encrypt_sk,
+    )
+    from poulpy_tpu.binfhe.lut import lookup_table_new
+    from poulpy_tpu.core import decryption as dec
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.layouts import GLWECiphertext
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
+    from poulpy_tpu.hal import vec_znx
+    from poulpy_tpu.hal.source import Source as Src
+    from poulpy_tpu.parallel.sharded import sharded_blind_rotation_block_fn
+
+    m = get_module(64, 4)
+    src = Src(bytes(32))
+    xe, xa = Src(b"\x01" * 32), Src(b"\x02" * 32)
+    n_lwe, block = 16, 4
+    sk_lwe = src.binary_block(n_lwe, block)
+    sk_glwe = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk_glwe)
+    brk = blind_rotation_key_encrypt_sk(
+        m, jnp.asarray(sk_lwe), skp, 17, 68, 4, xe, xa
+    )
+    base2k = 17
+    f = np.arange(32, dtype=np.int64)
+    lut = lookup_table_new(m.n, base2k, 34, f, f_k=10)
+    msgs = np.array([0, 5, 21, 31, 7, 12, 25, 30], dtype=np.int64)
+    pt = np.zeros((8, 2, 1), dtype=np.int64)
+    pt[:, 0, 0] = msgs << (base2k - 6)
+    lwe = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, 34, xe, xa
+    )
+
+    want = blind_rotation_execute_block(m, lwe, lut, brk, block)
+
+    mesh = jax.make_mesh((2, 4), ("dp", "kp"))
+    fn = sharded_blind_rotation_block_fn(m, mesh, lut, brk, block)
+    have = fn(lwe)
+    assert np.array_equal(np.asarray(have), np.asarray(want))
+
+    glwe = GLWECiphertext(data=have, base2k=base2k, k=lut.size * base2k)
+    vals = np.asarray(vec_znx.decode_vec_i64(
+        base2k, 10, dec.glwe_decrypt(m, glwe, skp).data
+    ))[:, 0]
+    assert np.max(np.abs(vals - msgs)) <= 1, (msgs, vals)
