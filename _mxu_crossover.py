@@ -69,8 +69,10 @@ def bench(n, nprimes, prime_bits):
 
 
 def main():
-    for n, P, bits in ((2048, 2, 28), (2048, 4, 30), (4096, 4, 30)):
-        bench(n, P, bits)
+    cfgs = {"a": (2048, 2, 28), "b": (2048, 4, 30), "c": (4096, 4, 30)}
+    sel = sys.argv[2] if len(sys.argv) > 2 else "abc"
+    for key in sel:
+        bench(*cfgs[key])
 
 
 if __name__ == "__main__":
