@@ -94,6 +94,52 @@ def glwe_mul_scalar(c: int, a: GLWECiphertext) -> GLWECiphertext:
 # Tensor product + relinearization (CKKS multiplication core)
 # --------------------------------------------------------------------------
 
+def glwe_lsh_add(k_shift: int, a: GLWECiphertext, b: GLWECiphertext):
+    """res = a·2^k + b (glwe_lsh_add, api/operations.rs)."""
+    return glwe_add(glwe_lsh(k_shift, a), b)
+
+
+def glwe_lsh_sub(k_shift: int, a: GLWECiphertext, b: GLWECiphertext):
+    """res = a·2^k − b (glwe_lsh_sub, api/operations.rs)."""
+    return glwe_sub(glwe_lsh(k_shift, a), b)
+
+
+def glwe_mul_plain(
+    module: Module, a: GLWECiphertext, pt: GLWEPlaintext,
+    res_size: int | None = None,
+) -> GLWECiphertext:
+    """ct × plaintext polynomial via the bivariate convolution
+    (glwe_mul_plain, api/operations.rs → cnv path).  The product's torus
+    scale is a.k + pt.k − base2k (the limb convolution shifts one limb up);
+    the scheme layer (ckks/ops.py mul_plain) handles meta/budget landing.
+    """
+    assert a.base2k == pt.base2k
+    base2k = a.base2k
+    res_size = a.size if res_size is None else res_size
+    conv_size = a.size + pt.size - 1
+    a_prep = dft.cnv_prepare_left(module, a.data)
+    pt_prep = dft.cnv_prepare_right(module, pt.data)
+    prod = dft.cnv_apply(module, a_prep, pt_prep, conv_size)
+    bits = dft.product_bits(base2k, base2k, module.log_n,
+                            min(a.size, pt.size))
+    if dft.needs_wide(bits):
+        assert bits + 1 < module.basis.modulus.bit_length()
+        pair = dft.idft_apply_wide(module, prod)
+        data = dft.big_normalize_wide(module, res_size, base2k, pair, base2k)
+    else:
+        big = dft.idft_apply(module, prod)
+        data = dft.big_normalize(module, res_size, base2k, big, base2k)
+    return GLWECiphertext(data=data, base2k=base2k,
+                          k=min(a.k + pt.k, res_size * base2k))
+
+
+def glwe_tensor_square_big(module: Module, a: GLWECiphertext,
+                           res_size: int, wide: bool = False):
+    """Tensor square (glwe_tensor_square_apply, api/operations.rs):
+    the a == b special case of glwe_tensor_product_big."""
+    return glwe_tensor_product_big(module, a, a, res_size, wide=wide)
+
+
 def tensor_product_bits(module: Module, a: GLWECiphertext, b: GLWECiphertext) -> int:
     """Exact-value bound (bits) for one tensor-product convolution limb."""
     return dft.product_bits(

@@ -548,3 +548,38 @@ def test_automorphism_key_automorphism(ctx):
     want = np.asarray(znx.znx_automorphism(p_out, jnp.asarray(data)))
     got = decode(m, ct2, skp)
     assert np.max(np.abs(got - want)) <= 4
+
+
+def test_mul_plain_and_lsh_combinators(ctx):
+    from poulpy_tpu.core.operations import (
+        glwe_lsh_add,
+        glwe_lsh_sub,
+        glwe_mul_plain,
+    )
+    from oracle import negacyclic_mul
+
+    m, sk, skp = ctx
+    xe, xa = fresh_sources()
+    data = RNG.integers(-(2**8), 2**8, size=N, dtype=np.int64)
+    ct = enc.glwe_encrypt_sk(m, encode(data), skp, BASE2K, K_CT, xe, xa)
+
+    # lsh_add / lsh_sub: 2^3·a ± b at the shifted decode scale
+    d2 = rand_msg()
+    ct2 = enc.glwe_encrypt_sk(m, encode(d2), skp, BASE2K, K_CT, xe, xa)
+    up = glwe_lsh_add(3, ct, ct2)
+    got = decode(m, up, skp, k=K_PT - 3)
+    assert np.max(np.abs(got - (8 * data + d2) // 8)) <= 2
+
+    dn = glwe_lsh_sub(3, ct, ct2)
+    got = decode(m, dn, skp, k=K_PT - 3)
+    assert np.max(np.abs(got - (8 * data - d2) // 8)) <= 2
+
+    # mul_plain: ct × small plaintext poly == negacyclic convolution
+    pt_poly = np.zeros(N, dtype=np.int64)
+    pt_poly[0], pt_poly[3] = 2, -1
+    pt = encode(pt_poly, k=BASE2K, size=1)
+    prod = glwe_mul_plain(m, ct, pt)
+    # value scale: a.k + pt.k − base2k = K_PT + base2k − base2k
+    got = decode(m, prod, skp, k=K_PT)
+    want = np.asarray(negacyclic_mul(list(data), list(pt_poly)), dtype=np.int64)
+    assert np.max(np.abs(got - want)) <= 2, np.abs(got - want).max()
