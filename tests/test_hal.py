@@ -383,3 +383,48 @@ def test_chacha8_keystream_pinned():
     w = np.frombuffer(want, np.uint8).view(np.uint32)
     assert s.next_u64() == int(w[0]) | (int(w[1]) << 32)
     assert s.next_u64() == int(w[2]) | (int(w[3]) << 32)
+
+
+def test_vmp_apply_shape_sweep():
+    """Exhaustive (rows, cols_in, cols_out, size_a, psize, res_size) sweep
+    against the exact oracle — the reference's primary VMP test iterates all
+    shape combinations the same way (poulpy-hal/src/test_suite/vmp.rs:21-110),
+    covering rows<size, rows>size, res_size<psize and res_size>psize."""
+    n = 16
+    m = get_module(n, 4)
+    rng = np.random.default_rng(42)
+    for rows, cols_in, cols_out, size_a, psize, res_size in [
+        (1, 1, 1, 1, 1, 1),
+        (1, 2, 1, 3, 2, 2),
+        (2, 1, 2, 1, 3, 3),
+        (2, 2, 2, 4, 2, 2),   # rows < size_a: extra input limbs ignored
+        (4, 1, 1, 2, 3, 3),   # rows > size_a: extra gadget rows unused
+        (3, 2, 3, 3, 4, 2),   # res_size < psize: output window truncated
+        (2, 1, 2, 2, 2, 4),   # res_size > psize: zero-padded tail
+    ]:
+        a = rng.integers(-(2**16), 2**16, size=(cols_in, size_a, n),
+                         dtype=np.int64)
+        mat = rng.integers(
+            -(2**16), 2**16,
+            size=(rows, cols_in, cols_out, psize, n), dtype=np.int64,
+        )
+        a_dft = dft.dft_apply(m, jnp.asarray(a))
+        pmat = dft.vmp_prepare(m, jnp.asarray(mat))
+        big = np.asarray(dft.idft_apply(
+            m, dft.vmp_apply(m, a_dft, pmat, res_size=res_size)
+        ))
+        assert big.shape == (cols_out, res_size, n)
+        rmax = min(rows, size_a)
+        for co in range(cols_out):
+            for j in range(res_size):
+                want = [0] * n
+                if j < psize:
+                    for ci in range(cols_in):
+                        for r in range(rmax):
+                            t = negacyclic_mul(
+                                [int(v) for v in a[ci, r]],
+                                [int(v) for v in mat[r, ci, co, j]],
+                            )
+                            want = [x + y for x, y in zip(want, t)]
+                key = (rows, cols_in, cols_out, size_a, psize, res_size)
+                assert [int(v) for v in big[co, j]] == want, (key, co, j)
