@@ -195,6 +195,57 @@ def bench_ckks_mul(batch=256, iters=5):
     return batch * iters / dt
 
 
+def bench_ckks_mul_wide(batch=64, iters=5):
+    """CKKS ct×ct at the reference NTT120 demo parameterization (base2k=52,
+    k=95, HW=192 — poulpy-ckks/examples/poly2.rs:48-61): exercises the wide
+    (i128-twin) big-accumulator exit (hal/wide.py) on device."""
+    import poulpy_tpu.ckks.ops as ck
+    from poulpy_tpu.ckks.encoder import Encoder
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.prepared import (
+        glwe_secret_prepare,
+        glwe_tensor_key_prepare,
+    )
+    from poulpy_tpu.hal.module import get_module
+    from poulpy_tpu.hal.source import Source
+
+    n, base2k, k_ct, k_key, log_delta, log_budget = 2048, 52, 95, 156, 30, 35
+    m = get_module(n, 4)   # 4×30-bit primes; products exceed 62 bits → wide
+    s = Source(bytes(32))
+    sk = enc.secret_new(m, 1, s, dist="ternary_hw", hw=192)
+    skp = glwe_secret_prepare(m, sk)
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    tsk = glwe_tensor_key_prepare(
+        m,
+        enc.glwe_tensor_key_encrypt_sk(
+            m, sk, skp, base2k, k_key, dnum=2, source_xe=xe, source_xa=xa
+        ),
+    )
+    encd = Encoder(n)
+    rng = np.random.default_rng(5)
+    z = rng.normal(size=n // 2) + 1j * rng.normal(size=n // 2)
+    pt = ck.encode(encd, z, base2k, k_ct, log_delta, log_budget)
+    c1 = ck.encrypt_sk(m, pt, skp, k_ct, xe, xa)
+    c2 = ck.encrypt_sk(m, pt, skp, k_ct, xe, xa)
+    d1 = jnp.broadcast_to(c1.glwe.data, (batch,) + c1.glwe.data.shape)
+    d2 = jnp.broadcast_to(c2.glwe.data, (batch,) + c2.glwe.data.shape)
+
+    @jax.jit
+    def step(a_data, b_data):
+        a = c1.replace(glwe=c1.glwe.replace(data=a_data))
+        b = c2.replace(glwe=c2.glwe.replace(data=b_data))
+        return ck.mul(m, a, b, tsk).glwe.data
+
+    out = step(d1, d2)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(d1, d2)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
 def main():
     gbs = bench_gate_bootstrap()
     # denominator: derived CPU block-binary gate bootstrap ~310/s
@@ -224,6 +275,11 @@ def main():
     print(json.dumps({
         "metric": "ckks_mul_rescale_per_s_n2048",
         "value": round(ck, 1), "unit": "muls/s", "vs_baseline": None,
+    }))
+    ckw = bench_ckks_mul_wide()
+    print(json.dumps({
+        "metric": "ckks_mul_wide_base2k52_per_s_n2048",
+        "value": round(ckw, 1), "unit": "muls/s", "vs_baseline": None,
     }))
 
 
