@@ -385,23 +385,38 @@ def test_chacha8_keystream_pinned():
     assert s.next_u64() == int(w[2]) | (int(w[3]) << 32)
 
 
-def test_vmp_apply_shape_sweep():
-    """Exhaustive (rows, cols_in, cols_out, size_a, psize, res_size) sweep
-    against the exact oracle — the reference's primary VMP test iterates all
-    shape combinations the same way (poulpy-hal/src/test_suite/vmp.rs:21-110),
-    covering rows<size, rows>size, res_size<psize and res_size>psize."""
+_VMP_SWEEP_COMBOS = [
+    (2, 2, 2, 4, 2, 2),   # rows < size_a: extra input limbs ignored
+    (4, 1, 1, 2, 3, 3),   # rows > size_a: extra gadget rows unused
+    (3, 2, 3, 3, 4, 2),   # res_size < psize: output window truncated
+    (2, 1, 2, 2, 2, 4),   # res_size > psize: zero-padded tail
+]
+_VMP_SWEEP_COMBOS_EXTRA = [
+    (1, 1, 1, 1, 1, 1),   # degenerate minimum
+    (1, 2, 1, 3, 2, 2),
+    (2, 1, 2, 1, 3, 3),
+]
+
+
+@pytest.mark.parametrize(
+    "combos",
+    [
+        _VMP_SWEEP_COMBOS,
+        pytest.param(_VMP_SWEEP_COMBOS_EXTRA, marks=pytest.mark.slow),
+    ],
+    ids=["edge", "extra"],
+)
+def test_vmp_apply_shape_sweep(combos):
+    """(rows, cols_in, cols_out, size_a, psize, res_size) sweep against the
+    exact oracle — the reference's primary VMP test iterates all shape
+    combinations the same way (poulpy-hal/src/test_suite/vmp.rs:21-110),
+    covering rows<size, rows>size, res_size<psize and res_size>psize.
+    The default keeps the four edge-behavior combos; plain square-ish shapes
+    (already covered by test_vmp_apply_exact) run under -m slow."""
     n = 16
     m = get_module(n, 4)
     rng = np.random.default_rng(42)
-    for rows, cols_in, cols_out, size_a, psize, res_size in [
-        (1, 1, 1, 1, 1, 1),
-        (1, 2, 1, 3, 2, 2),
-        (2, 1, 2, 1, 3, 3),
-        (2, 2, 2, 4, 2, 2),   # rows < size_a: extra input limbs ignored
-        (4, 1, 1, 2, 3, 3),   # rows > size_a: extra gadget rows unused
-        (3, 2, 3, 3, 4, 2),   # res_size < psize: output window truncated
-        (2, 1, 2, 2, 2, 4),   # res_size > psize: zero-padded tail
-    ]:
+    for rows, cols_in, cols_out, size_a, psize, res_size in combos:
         a = rng.integers(-(2**16), 2**16, size=(cols_in, size_a, n),
                          dtype=np.int64)
         mat = rng.integers(
