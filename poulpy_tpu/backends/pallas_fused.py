@@ -47,10 +47,13 @@ from poulpy_tpu.backends.pallas_ntt import (
     _csub,
     _mul_lo30,
     _stage_twiddles,
+    _stage_twiddles_shoup,
     _sub_mod,
     lazy_ok,
     mont_mul_i32,
     mont_mul_i32_lazy,
+    shoup_mul_i32,
+    shoup_mul_i32_lazy,
 )
 from poulpy_tpu.hal.module import Module
 from poulpy_tpu.hal.primes import R, PrimeBasis
@@ -260,7 +263,25 @@ def normalize_windows(his, los, psize, res_size, kr, ka, offset):
 # Lane values computed are bitwise identical to the unpaired form.
 # ---------------------------------------------------------------------------
 
-def _ntt_rows_paired(x, wref, n, logn, p, qinv, stage_index, lazy=False):
+def _tw_mul(x, wref, s, stage_index, p, qinv, lazy, shoup):
+    """One butterfly twiddle product x·w_s mod p.  shoup=True reads the
+    stacked (plain, Harvey-quotient) table (_stage_twiddles_shoup) and runs
+    the 6-multiply Shoup reduction; otherwise Montgomery REDC (11 mults).
+    Output in [0, 2p) when lazy, canonical [0, p) otherwise."""
+    if shoup:
+        w = wref[s, 0, stage_index]
+        wq = wref[s, 1, stage_index]
+        if lazy:
+            return shoup_mul_i32_lazy(x, w, wq, p)
+        return shoup_mul_i32(x, w, wq, p)
+    w = wref[s, stage_index]
+    if lazy:
+        return mont_mul_i32_lazy(x, w, p, qinv)
+    return mont_mul_i32(x, w, p, qinv)
+
+
+def _ntt_rows_paired(x, wref, n, logn, p, qinv, stage_index, lazy=False,
+                     shoup=False):
     """Forward Cooley–Tukey stages on [rows, N] (rows even) for one prime,
     one twiddle multiply per ROW PAIR per stage.  Bit-exact vs _ntt_rows."""
     rows = x.shape[0]
@@ -270,14 +291,10 @@ def _ntt_rows_paired(x, wref, n, logn, p, qinv, stage_index, lazy=False):
     lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, 1)
     for s in range(logn):
         half = n >> (s + 1)
-        w = wref[s, stage_index]
         mask = (lane & (2 * half - 1)) < half
         # pack: lo lanes ← b's hi-partner values, hi lanes ← a's own
         c = jnp.where(mask, pltpu.roll(b, jnp.int32(n - half), axis=1), a)
-        if lazy:
-            yc = mont_mul_i32_lazy(c, w, p, qinv)
-        else:
-            yc = mont_mul_i32(c, w, p, qinv)
+        yc = _tw_mul(c, wref, s, stage_index, p, qinv, lazy, shoup)
         ya = jnp.where(mask, pltpu.roll(yc, jnp.int32(n - half), axis=1), yc)
         yb = jnp.where(mask, yc, pltpu.roll(yc, jnp.int32(half), axis=1))
         if lazy:
@@ -304,7 +321,7 @@ def _ntt_rows_paired(x, wref, n, logn, p, qinv, stage_index, lazy=False):
 
 
 def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
-                      lazy=False):
+                      lazy=False, shoup=False):
     """Inverse Gentleman–Sande stages + N^{-1} scale, one twiddle multiply
     per ROW PAIR per stage.  Bit-exact vs _intt_rows."""
     rows = x.shape[0]
@@ -315,7 +332,6 @@ def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
     for si in range(logn):
         s = logn - 1 - si
         half = n >> (s + 1)
-        w = wref[si, stage_index]
         mask = (lane & (2 * half - 1)) < half
         if lazy:
             da = pltpu.roll(a, jnp.int32(half), axis=1) - a + 2 * p
@@ -324,8 +340,8 @@ def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
             da = _sub_mod(pltpu.roll(a, jnp.int32(half), axis=1), a, p)
             db = _sub_mod(pltpu.roll(b, jnp.int32(half), axis=1), b, p)
         c = jnp.where(mask, pltpu.roll(db, jnp.int32(n - half), axis=1), da)
+        vc = _tw_mul(c, wref, si, stage_index, p, qinv, lazy, shoup)
         if lazy:
-            vc = mont_mul_i32_lazy(c, w, p, qinv)
             ua = a + pltpu.roll(a, jnp.int32(n - half), axis=1)
             ub = b + pltpu.roll(b, jnp.int32(n - half), axis=1)
             a = _csub(jnp.where(mask, ua, vc), 2 * p)
@@ -333,7 +349,6 @@ def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
                 mask, ub, pltpu.roll(vc, jnp.int32(half), axis=1)
             ), 2 * p)
         else:
-            vc = mont_mul_i32(c, w, p, qinv)
             ua = _add_mod(a, pltpu.roll(a, jnp.int32(n - half), axis=1), p)
             ub = _add_mod(b, pltpu.roll(b, jnp.int32(n - half), axis=1), p)
             a = jnp.where(mask, ua, vc)
@@ -547,7 +562,8 @@ def _intt_rows_sl(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
     return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
 
 
-def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False):
+def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False,
+              shoup=False):
     """Forward Cooley–Tukey stages on [rows, N] for one prime (scalar p).
 
     lazy=True (p < 2^28): x carried in [0, 2p) with one csub per stage
@@ -555,15 +571,13 @@ def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False):
     where canonical values are required."""
     for s in range(logn):
         half = n >> (s + 1)
-        w = wref[s, stage_index]
         mask = (lane & (2 * half - 1)) < half
+        y = _tw_mul(x, wref, s, stage_index, p, qinv, lazy, shoup)
         if lazy:
-            y = mont_mul_i32_lazy(x, w, p, qinv)
             lo_new = x + pltpu.roll(y, jnp.int32(n - half), axis=1)
             hi_new = pltpu.roll(x, jnp.int32(half), axis=1) - y + 2 * p
             x = _csub(jnp.where(mask, lo_new, hi_new), 2 * p)
         else:
-            y = mont_mul_i32(x, w, p, qinv)
             lo_new = _add_mod(
                 x, pltpu.roll(y, jnp.int32(n - half), axis=1), p
             )
@@ -573,14 +587,13 @@ def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False):
 
 
 def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index,
-               lazy=False):
+               lazy=False, shoup=False):
     """Inverse Gentleman–Sande stages + N^{-1} scale, one prime.
 
     lazy=True accepts x in [0, 2p) and returns canonical [0, p)."""
     for si in range(logn):
         s = logn - 1 - si
         half = n >> (s + 1)
-        w = wref[si, stage_index]
         mask = (lane & (2 * half - 1)) < half
         partner = jnp.where(
             mask,
@@ -589,12 +602,13 @@ def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index,
         )
         if lazy:
             u = x + partner                              # [0, 4p)
-            v = mont_mul_i32_lazy(partner - x + 2 * p, w, p, qinv)
+            v = _tw_mul(partner - x + 2 * p, wref, si, stage_index, p, qinv,
+                        True, shoup)
             x = _csub(jnp.where(mask, u, v), 2 * p)
         else:
             u = _add_mod(x, partner, p)
             d_hi = _sub_mod(partner, x, p)
-            v = mont_mul_i32(d_hi, w, p, qinv)
+            v = _tw_mul(d_hi, wref, si, stage_index, p, qinv, False, shoup)
             x = jnp.where(mask, u, v)
     if lazy:
         return _csub(
@@ -626,7 +640,7 @@ def _lazy_reduce(x, bound: int, p: int, target: int):
 def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                  t_tile, cols, size_a, rmax, co, psize,
                  res_size, kr, ka, offset, block, rotate, add_acc, s_size,
-                 s64_size,
+                 s64_size, shoup,
                  *refs):
     it = iter(refs)
     a_ref = next(it)
@@ -666,10 +680,12 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
         if sl:
             r = _ntt_rows_sl(r, wf_ref, n, logn, p, qinv, pi, lazy)
         elif r.shape[0] % 2 == 0:
-            r = _ntt_rows_paired(r, wf_ref, n, logn, p, qinv, pi, lazy)
+            r = _ntt_rows_paired(r, wf_ref, n, logn, p, qinv, pi, lazy,
+                                 shoup)
         else:
             lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
-            r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi, lazy)
+            r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi, lazy,
+                          shoup)
         r4 = r.reshape(t_tile, cols, size_a, *tail)[:, :, :rmax]
         r4 = r4.reshape(t_tile, kk, *tail)  # [0, 2p) when lazy else [0, p)
         add = None
@@ -743,11 +759,11 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                                     ninvs[pi], pi, lazy))
         elif y.shape[0] % 2 == 0:
             ys.append(_intt_rows_paired(y, wi_ref, n, logn, p, qinv,
-                                        ninvs[pi], pi, lazy))
+                                        ninvs[pi], pi, lazy, shoup))
         else:
             lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
             ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
-                                 ninvs[pi], pi, lazy))
+                                 ninvs[pi], pi, lazy, shoup))
 
     hi, lo = garner_center_pairs(ys, primes, qinvs, basis)  # [T·M, N]
 
@@ -803,28 +819,34 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
 def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
              rmax: int, co: int, psize: int, res_size: int, kr: int, ka: int,
              offset: int, block: int, rotate: bool, s_size: int,
-             add_acc: bool, s64_size: int = 0):
+             add_acc: bool, s64_size: int = 0, shoup: bool = False):
     logn = n.bit_length() - 1
     P = len(primes)
     kk = cols * rmax
     mdim = co * psize
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
     ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
-    wf = _stage_twiddles(primes, n, False, P)   # [logn, P, N]
-    wi = _stage_twiddles(primes, n, True, P)
-    basis = PrimeBasis(primes)
-    kernel = functools.partial(
-        _kernel_pipe, n, logn, primes, qinvs, ninvs, basis,
-        t_tile, cols, size_a, rmax, co, psize,
-        res_size, kr, ka, offset, block, rotate, add_acc, s_size, s64_size,
-    )
-    rows_a = cols * size_a
     # sublane/lane-split layout (see _ntt_rows_sl): reshape every [..., N]
     # operand to [..., S, 128] — free at the XLA level (contiguous view) —
     # so sublane butterflies become slice arithmetic and lane rolls stay
     # within one 128-lane register
     sl = (n % 128 == 0 and n >= 128
           and os.environ.get("POULPY_TPU_SL", "0") != "0")
+    shoup = shoup and not sl      # sl path keeps Montgomery butterflies
+    if shoup:
+        wf = _stage_twiddles_shoup(primes, n, False, P)  # [logn, 2, P, N]
+        wi = _stage_twiddles_shoup(primes, n, True, P)
+    else:
+        wf = _stage_twiddles(primes, n, False, P)        # [logn, P, N]
+        wi = _stage_twiddles(primes, n, True, P)
+    basis = PrimeBasis(primes)
+    kernel = functools.partial(
+        _kernel_pipe, n, logn, primes, qinvs, ninvs, basis,
+        t_tile, cols, size_a, rmax, co, psize,
+        res_size, kr, ka, offset, block, rotate, add_acc, s_size, s64_size,
+        shoup,
+    )
+    rows_a = cols * size_a
     tail = (n // 128, 128) if sl else (n,)
     zi = (0,) * len(tail)
 
@@ -833,21 +855,24 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
         # xp: [P, block, Bp, N] i32; sm: [Bp·s_size, N] i32
         bp = a.shape[0] // rows_a
         grid = (bp // t_tile,)
+        wlead = 3 if shoup else 2     # (logn, [2,] P)
+        wspec = pl.BlockSpec(
+            wf.shape[:wlead] + tail, lambda bi: (0,) * wlead + zi,
+            memory_space=pltpu.VMEM,
+        )
         in_specs = [
             pl.BlockSpec((t_tile * rows_a,) + tail,
                          lambda bi: (bi,) + zi, memory_space=pltpu.VMEM),
-            pl.BlockSpec((logn, P) + tail, lambda bi: (0, 0) + zi,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((logn, P) + tail, lambda bi: (0, 0) + zi,
-                         memory_space=pltpu.VMEM),
+            wspec,
+            wspec,
             pl.BlockSpec((P, block, kk, mdim) + tail,
                          lambda bi: (0, 0, 0, 0) + zi,
                          memory_space=pltpu.VMEM),
         ]
         args = [
             a.reshape(a.shape[:1] + tail),
-            jnp.asarray(wf).reshape(wf.shape[:2] + tail),
-            jnp.asarray(wi).reshape(wi.shape[:2] + tail),
+            jnp.asarray(wf).reshape(wf.shape[:wlead] + tail),
+            jnp.asarray(wi).reshape(wi.shape[:wlead] + tail),
             pm.reshape(pm.shape[:4] + tail),
         ]
         if rotate:
@@ -975,6 +1000,13 @@ def _kernel_b_fn(n: int, primes: tuple, psize: int, s_size: int,
 def fused_supported(module: Module, psize: int, res_base2k: int) -> bool:
     """Static validity of the fused path (see module docstring)."""
     return res_base2k + (psize + 1).bit_length() <= 31 and res_base2k <= 26
+
+
+def _use_shoup() -> bool:
+    """Harvey/Shoup twiddle butterflies (6 vector multiplies per twiddle
+    product vs Montgomery's 11 — see shoup_mul_i32_lazy).  Default on;
+    POULPY_TPU_SHOUP=0 restores the Montgomery butterflies."""
+    return os.environ.get("POULPY_TPU_SHOUP", "1") != "0"
 
 
 _T_TILE = int(os.environ.get("POULPY_TPU_TTILE", "32"))
@@ -1118,7 +1150,7 @@ def fused_glwe_product(
     out = _pipe_fn(
         n, module.basis.primes, t_tile, ci, rmax, rmax, co, psize,
         res_size, res_base2k, pm_base2k, 0, 1, False, s_size, False,
-        s64_size,
+        s64_size, _use_shoup(),
     )(a32.reshape(bp * ci * rmax, n), pm, sm=sm, s64h=s64h, s64l=s64l)
 
     out = out.reshape(bp, co, res_size, n)[:b_tot]
@@ -1168,6 +1200,7 @@ def fused_br_block_step(
     out = _pipe_fn(
         n, module.basis.primes, t_tile, cols, size_a, rmax, cols, psize,
         res_size, base2k, base2k, 0, block, True, 0, True,
+        0, _use_shoup(),
     )(a32.reshape(bp * cols * size_a, n), pm_k, xp=xp32)
 
     out = out.reshape(bp, cols, res_size, n)[:b_tot]
@@ -1186,7 +1219,7 @@ def fused_br_block_step(
 # ---------------------------------------------------------------------------
 
 def _kernel_tensor(n, logn, primes, qinvs, ninvs, r2s, basis: PrimeBasis,
-                   t_tile, size_a, size_b, conv_size, dnum, kr, ka,
+                   t_tile, size_a, size_b, conv_size, dnum, kr, ka, shoup,
                    a_ref, b_ref, wf_ref, wi_ref, d_ref, lh_ref, ll_ref):
     P = len(primes)
     xa = a_ref[...]                   # [T·2·size_a, N] i32, |limb| < 2^29
@@ -1204,10 +1237,10 @@ def _kernel_tensor(n, logn, primes, qinvs, ninvs, r2s, basis: PrimeBasis,
                              p, 2 * p)
             if r.shape[0] % 2 == 0:
                 return _ntt_rows_paired(r, wf_ref, n, logn, p, qinv, pi,
-                                        lazy=True)
+                                        lazy=True, shoup=shoup)
             lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
             return _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi,
-                             lazy=True)
+                             lazy=True, shoup=shoup)
 
         ra = entry(xa).reshape(t_tile, 2, size_a, n)      # [0, 2p)
         rb = entry(xb).reshape(t_tile, 2, size_b, n)
@@ -1245,11 +1278,12 @@ def _kernel_tensor(n, logn, primes, qinvs, ninvs, r2s, basis: PrimeBasis,
         y = jnp.stack(rows, axis=1).reshape(t_tile * 3 * conv_size, n)
         if y.shape[0] % 2 == 0:
             ys.append(_intt_rows_paired(y, wi_ref, n, logn, p, qinv,
-                                        ninvs[pi], pi, lazy=True))
+                                        ninvs[pi], pi, lazy=True,
+                                        shoup=shoup))
         else:
             lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
             ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
-                                 ninvs[pi], pi, lazy=True))
+                                 ninvs[pi], pi, lazy=True, shoup=shoup))
 
     hi, lo = garner_center_pairs(ys, primes, qinvs, basis)  # [T·3·conv, N]
     hi = hi.reshape(t_tile, 3, conv_size, n)
@@ -1267,20 +1301,28 @@ def _kernel_tensor(n, logn, primes, qinvs, ninvs, r2s, basis: PrimeBasis,
 
 @functools.lru_cache(maxsize=None)
 def _tensor_fn(n: int, primes: tuple, t_tile: int, size_a: int, size_b: int,
-               conv_size: int, dnum: int, kr: int, ka: int):
+               conv_size: int, dnum: int, kr: int, ka: int,
+               shoup: bool = False):
     logn = n.bit_length() - 1
     P = len(primes)
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
     ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
     r2s = tuple(R * R % p for p in primes)
-    wf = _stage_twiddles(primes, n, False, P)
-    wi = _stage_twiddles(primes, n, True, P)
+    if shoup:
+        wf = _stage_twiddles_shoup(primes, n, False, P)
+        wi = _stage_twiddles_shoup(primes, n, True, P)
+    else:
+        wf = _stage_twiddles(primes, n, False, P)
+        wi = _stage_twiddles(primes, n, True, P)
     basis = PrimeBasis(primes)
     kernel = functools.partial(
         _kernel_tensor, n, logn, primes, qinvs, ninvs, r2s, basis,
-        t_tile, size_a, size_b, conv_size, dnum, kr, ka,
+        t_tile, size_a, size_b, conv_size, dnum, kr, ka, shoup,
     )
     ra, rb = 2 * size_a, 2 * size_b
+    wspec = pl.BlockSpec(
+        wf.shape, lambda bi: (0,) * wf.ndim, memory_space=pltpu.VMEM
+    )
 
     def fn(a, b):   # a: [Bp·2·size_a, N] i32; b: [Bp·2·size_b, N] i32
         bp = a.shape[0] // ra
@@ -1294,10 +1336,8 @@ def _tensor_fn(n: int, primes: tuple, t_tile: int, size_a: int, size_b: int,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((t_tile * rb, n), lambda bi: (bi, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((logn, P, n), lambda bi: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
+                    wspec,
+                    wspec,
                 ],
                 out_specs=[
                     pl.BlockSpec((t_tile * dnum, n), lambda bi: (bi, 0),
@@ -1361,7 +1401,7 @@ def fused_tensor_product(
     bp = b_tot + pad
     d, lh, ll = _tensor_fn(
         n, module.basis.primes, t_tile, size_a, size_b, conv_size, dnum,
-        kr, ka,
+        kr, ka, _use_shoup(),
     )(a32.reshape(bp * 2 * size_a, n), b32.reshape(bp * 2 * size_b, n))
     d = d.reshape(bp, dnum, n)[:b_tot].reshape(lead + (dnum, n))
     lh = lh.reshape(bp, 2, conv_size, n)[:b_tot]

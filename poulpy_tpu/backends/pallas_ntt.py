@@ -129,6 +129,49 @@ def _csub(x, m):
     return jnp.where(x >= m, x - m, x)
 
 
+# ---------------------------------------------------------------------------
+# Harvey/Shoup constant multiplication (twiddle butterflies)
+#
+# For a multiply by a PRECOMPUTABLE constant w (NTT twiddles), Harvey's
+# method with a stored quotient wq = floor(w·2^30/p) beats Montgomery REDC
+# on this VPU: the reduction needs only the LOW 30 bits of x·w and q·p,
+# and the VPU has a native 32-bit low-product multiply (only mulhi is
+# missing — BENCH_NOTES roofline).  Six vector multiplies total
+# (4 schoolbook for the exact hi part of x·wq + 2 native low products)
+# vs mont_mul_i32_lazy's 11, and far fewer support ops.
+# Counterpart of the reference's AVX twiddle handling
+# (poulpy-cpu-avx/src/fft64/reim/), re-derived for i32 lanes.
+# ---------------------------------------------------------------------------
+
+
+def shoup_mul_i32_lazy(x, w, wq, p):
+    """x·w mod p as a representative in [0, 2p), for 0 ≤ x < 2^30,
+    0 ≤ w < p < 2^30, wq = floor(w·2^30/p) precomputed host-side.
+
+    q = floor(x·wq/2^30) exactly (15-bit schoolbook high part), then
+    r = x·w − q·p via two native i32 low products; Harvey's lemma gives
+    0 ≤ r < p·(1 + x/2^30) < 2p whenever x < 2^30.  Every intermediate
+    fits signed i32 (schoolbook sums < 2^31 − 2^16)."""
+    x0 = x & MASK15
+    x1 = x >> 15
+    wq0 = wq & MASK15
+    wq1 = wq >> 15
+    q = x1 * wq1 + (
+        (x0 * wq1 + x1 * wq0 + ((x0 * wq0) >> 15)) >> 15
+    )
+    # r < 2p < 2^31, so the subtraction is exact modulo 2^31 (a 30-bit
+    # mask would corrupt 30-bit primes, where 2p > 2^30)
+    m31 = (1 << 31) - 1
+    return (((x * w) & m31) - ((q * p) & m31)) & m31
+
+
+def shoup_mul_i32(x, w, wq, p):
+    """Canonical x·w mod p for 0 ≤ x < p < 2^30 (lazy core + one csub).
+    Bit-identical to mont_mul_i32(x, w·R mod p, p, qinv)."""
+    r = shoup_mul_i32_lazy(x, w, wq, p)
+    return jnp.where(r >= p, r - p, r)
+
+
 @functools.lru_cache(maxsize=None)
 def _stage_twiddles(primes: tuple[int, ...], n: int, inverse: bool,
                     rows_block: int):
@@ -153,6 +196,27 @@ def _stage_twiddles(primes: tuple[int, ...], n: int, inverse: bool,
         stage = s if not inverse else (logn - 1 - s)
         per_prime = src[:, idx].astype(np.int32)      # [P, N]
         out[stage] = np.tile(per_prime, (rows_block // P, 1))
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_twiddles_shoup(primes: tuple[int, ...], n: int, inverse: bool,
+                          rows_block: int):
+    """Stacked Harvey twiddle tables [logN, 2, rows_block, N] int32:
+    [s, 0] = plain stage twiddles w = ψ-power mod p (NOT Montgomery form),
+    [s, 1] = quotients floor(w·2^30/p) for shoup_mul_i32(_lazy).
+    Same row interleaving as _stage_twiddles (row r ↦ prime r % P)."""
+    from poulpy_tpu.hal.primes import R
+
+    mont = _stage_twiddles(primes, n, inverse, rows_block)
+    P = len(primes)
+    out = np.zeros((mont.shape[0], 2) + mont.shape[1:], dtype=np.int32)
+    for k, p in enumerate(primes):
+        rinv = pow(R, -1, p)
+        wm = mont[:, k::P].astype(np.int64)
+        plain = wm * rinv % p
+        out[:, 0, k::P] = plain.astype(np.int32)
+        out[:, 1, k::P] = ((plain << 30) // p).astype(np.int32)
     return out
 
 
