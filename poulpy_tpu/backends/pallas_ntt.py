@@ -32,41 +32,32 @@ MASK30 = (1 << 30) - 1
 
 
 def _mul_lo30(a, b):
-    """Low 30 bits of a·b for 0 ≤ a,b < 2^30, in i32."""
-    a0 = a & MASK15
-    a1 = a >> 15
-    b0 = b & MASK15
-    lo = a0 * b0 + (((a0 * (b >> 15) + a1 * b0) & MASK15) << 15)
-    return lo & MASK30
+    """Low 30 bits of a·b in i32 — ONE native multiply (the VPU has a
+    native 32-bit low product; only mulhi needs 15-bit schoolbook)."""
+    return (a * b) & MASK30
 
 
-def mont_mul_i32(a, b, p, qinv30):
-    """REDC_{2^30}(a·b) in pure i32 (15-bit digit schoolbook).
-
-    0 ≤ a,b < p < 2^30; every intermediate < 2^31.
-    """
+def _mul_hi30(a, b):
+    """floor(a·b / 2^30) for 0 ≤ a,b < 2^30 (15-bit digit schoolbook —
+    this is the half the VPU has no native op for)."""
     a0 = a & MASK15
     a1 = a >> 15
     b0 = b & MASK15
     b1 = b >> 15
-    p00 = a0 * b0
-    mid = a0 * b1 + a1 * b0
-    p11 = a1 * b1
-    t0f = p00 + ((mid & MASK15) << 15)
-    t0 = t0f & MASK30
-    t1 = p11 + (mid >> 15) + (t0f >> 30)
-    m = _mul_lo30(t0, qinv30)
-    m0 = m & MASK15
-    m1 = m >> 15
-    q0 = p & MASK15
-    q1 = p >> 15
-    mp00 = m0 * q0
-    mpmid = m0 * q1 + m1 * q0
-    mp11 = m1 * q1
-    mp0f = mp00 + ((mpmid & MASK15) << 15)
-    mp1 = mp11 + (mpmid >> 15) + (mp0f >> 30)
-    s0f = t0 + (mp0f & MASK30)
-    u = t1 + mp1 + (s0f >> 30)
+    return a1 * b1 + ((a0 * b1 + a1 * b0 + ((a0 * b0) >> 15)) >> 15)
+
+
+def mont_mul_i32(a, b, p, qinv30):
+    """REDC_{2^30}(a·b) in pure i32.
+
+    0 ≤ a,b < p < 2^30; every intermediate < 2^31.  9 vector multiplies:
+    two schoolbook mulhi (a·b and m·p), native low products for t0 and m,
+    and the low-half carry collapses to (t0 != 0) because
+    t0 + (m·p mod 2^30) ≡ 0 (mod 2^30) with both terms in [0, 2^30)."""
+    t0 = (a * b) & MASK30
+    t1 = _mul_hi30(a, b)
+    m = (t0 * qinv30) & MASK30
+    u = t1 + _mul_hi30(m, p) + (t0 != 0).astype(jnp.int32)
     return jnp.where(u >= p, u - p, u)
 
 
@@ -99,29 +90,12 @@ def lazy_ok(primes) -> bool:
 
 def mont_mul_i32_lazy(a, b, p, qinv30):
     """REDC_{2^30}(a·b) in [0, 2p), for 0 ≤ a < min(4p, 2^30), 0 ≤ b < p,
-    p < 2^28 (skips the canonicalizing subtract of mont_mul_i32)."""
-    a0 = a & MASK15
-    a1 = a >> 15
-    b0 = b & MASK15
-    b1 = b >> 15
-    p00 = a0 * b0
-    mid = a0 * b1 + a1 * b0
-    p11 = a1 * b1
-    t0f = p00 + ((mid & MASK15) << 15)
-    t0 = t0f & MASK30
-    t1 = p11 + (mid >> 15) + (t0f >> 30)
-    m = _mul_lo30(t0, qinv30)
-    m0 = m & MASK15
-    m1 = m >> 15
-    q0 = p & MASK15
-    q1 = p >> 15
-    mp00 = m0 * q0
-    mpmid = m0 * q1 + m1 * q0
-    mp11 = m1 * q1
-    mp0f = mp00 + ((mpmid & MASK15) << 15)
-    mp1 = mp11 + (mpmid >> 15) + (mp0f >> 30)
-    s0f = t0 + (mp0f & MASK30)
-    return t1 + mp1 + (s0f >> 30)
+    p < 2^28 (skips the canonicalizing subtract of mont_mul_i32).
+    Same 9-multiply structure as mont_mul_i32."""
+    t0 = (a * b) & MASK30
+    t1 = _mul_hi30(a, b)
+    m = (t0 * qinv30) & MASK30
+    return t1 + _mul_hi30(m, p) + (t0 != 0).astype(jnp.int32)
 
 
 def _csub(x, m):
