@@ -200,7 +200,23 @@ def _row_consts(vals: np.ndarray, rows_block: int) -> np.ndarray:
     return np.tile(vals.astype(np.int32), rows_block // P)[:, None]
 
 
-def _ntt_kernel_paired(logn: int, inverse: bool, lazy: bool,
+def _tw(x, w_ref, s, sl, p, qinv, lazy, shoup):
+    """One twiddle product for the standalone kernels: w_ref is
+    [logn, 2, rows, N] (plain, Harvey quotient) when shoup, else the
+    Montgomery [logn, rows, N] table; sl slices the row range."""
+    if shoup:
+        w = w_ref[s, 0][sl]
+        wq = w_ref[s, 1][sl]
+        if lazy:
+            return shoup_mul_i32_lazy(x, w, wq, p)
+        return shoup_mul_i32(x, w, wq, p)
+    w = w_ref[s][sl]
+    if lazy:
+        return mont_mul_i32_lazy(x, w, p, qinv)
+    return mont_mul_i32(x, w, p, qinv)
+
+
+def _ntt_kernel_paired(logn: int, inverse: bool, lazy: bool, shoup: bool,
                        x_ref, w_ref, p_ref, qinv_ref, ninv_ref, o_ref):
     """Paired-row butterflies: a radix-2 stage only consumes the twiddle
     products of its HI lanes, so packing two rows' hi-lane operands into one
@@ -220,13 +236,9 @@ def _ntt_kernel_paired(logn: int, inverse: bool, lazy: bool,
     if not inverse:
         for s in range(logn):
             half = n >> (s + 1)
-            w = w_ref[s][:h]
             mask = (lane & (2 * half - 1)) < half
             c = jnp.where(mask, pltpu.roll(b, jnp.int32(n - half), axis=1), a)
-            if lazy:
-                yc = mont_mul_i32_lazy(c, w, p, qinv)
-            else:
-                yc = mont_mul_i32(c, w, p, qinv)
+            yc = _tw(c, w_ref, s, slice(None, h), p, qinv, lazy, shoup)
             ya = jnp.where(
                 mask, pltpu.roll(yc, jnp.int32(n - half), axis=1), yc
             )
@@ -258,7 +270,6 @@ def _ntt_kernel_paired(logn: int, inverse: bool, lazy: bool,
         for si in range(logn):
             s = logn - 1 - si
             half = n >> (s + 1)
-            w = w_ref[si][:h]
             mask = (lane & (2 * half - 1)) < half
             if lazy:
                 da = pltpu.roll(a, jnp.int32(half), axis=1) - a + 2 * p
@@ -269,8 +280,8 @@ def _ntt_kernel_paired(logn: int, inverse: bool, lazy: bool,
             c = jnp.where(
                 mask, pltpu.roll(db, jnp.int32(n - half), axis=1), da
             )
+            vc = _tw(c, w_ref, si, slice(None, h), p, qinv, lazy, shoup)
             if lazy:
-                vc = mont_mul_i32_lazy(c, w, p, qinv)
                 ua = a + pltpu.roll(a, jnp.int32(n - half), axis=1)
                 ub = b + pltpu.roll(b, jnp.int32(n - half), axis=1)
                 a = _csub(jnp.where(mask, ua, vc), 2 * p)
@@ -278,7 +289,6 @@ def _ntt_kernel_paired(logn: int, inverse: bool, lazy: bool,
                     mask, ub, pltpu.roll(vc, jnp.int32(half), axis=1)
                 ), 2 * p)
             else:
-                vc = mont_mul_i32(c, w, p, qinv)
                 ua = _add_mod(a, pltpu.roll(a, jnp.int32(n - half), axis=1), p)
                 ub = _add_mod(b, pltpu.roll(b, jnp.int32(n - half), axis=1), p)
                 a = jnp.where(mask, ua, vc)
@@ -302,27 +312,26 @@ def _ntt_kernel_paired(logn: int, inverse: bool, lazy: bool,
     o_ref[...] = x
 
 
-def _ntt_kernel(logn: int, inverse: bool, lazy: bool,
+def _ntt_kernel(logn: int, inverse: bool, lazy: bool, shoup: bool,
                 x_ref, w_ref, p_ref, qinv_ref, ninv_ref, o_ref):
     n = x_ref.shape[-1]
     x = x_ref[...]                       # [rows_block, N], prime = row % P
     p = p_ref[...]                       # [rows_block, 1]
     qinv = qinv_ref[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    full = slice(None)
 
     if not inverse:
         for s in range(logn):
             half = n >> (s + 1)
-            w = w_ref[s]                 # [rows_block, N]
             mask = (lane & (2 * half - 1)) < half
+            # lazy: x ∈ [0, 2p): y < 2p, lo/hi ∈ [0, 4p) → one csub back
+            y = _tw(x, w_ref, s, full, p, qinv, lazy, shoup)
             if lazy:
-                # x ∈ [0, 2p): y < 2p, lo/hi ∈ [0, 4p) → one csub back
-                y = mont_mul_i32_lazy(x, w, p, qinv)
                 lo_new = x + pltpu.roll(y, jnp.int32(n - half), axis=1)
                 hi_new = pltpu.roll(x, jnp.int32(half), axis=1) - y + 2 * p
                 x = _csub(jnp.where(mask, lo_new, hi_new), 2 * p)
             else:
-                y = mont_mul_i32(x, w, p, qinv)
                 lo_new = _add_mod(
                     x, pltpu.roll(y, jnp.int32(n - half), axis=1), p
                 )
@@ -334,7 +343,6 @@ def _ntt_kernel(logn: int, inverse: bool, lazy: bool,
         for si in range(logn):
             s = logn - 1 - si
             half = n >> (s + 1)
-            w = w_ref[si]
             mask = (lane & (2 * half - 1)) < half
             partner = jnp.where(
                 mask,
@@ -342,14 +350,15 @@ def _ntt_kernel(logn: int, inverse: bool, lazy: bool,
                 pltpu.roll(x, jnp.int32(half), axis=1),
             )
             if lazy:
-                # x ∈ [0, 2p): u ∈ [0, 4p), d ∈ (0, 4p) — both mont-safe
+                # x ∈ [0, 2p): u ∈ [0, 4p), d ∈ (0, 4p) — both safe
                 u = x + partner
-                v = mont_mul_i32_lazy(partner - x + 2 * p, w, p, qinv)
+                v = _tw(partner - x + 2 * p, w_ref, si, full, p, qinv,
+                        True, shoup)
                 x = _csub(jnp.where(mask, u, v), 2 * p)
             else:
                 u = _add_mod(x, partner, p)
                 d_hi = _sub_mod(partner, x, p)
-                v = mont_mul_i32(d_hi, w, p, qinv)
+                v = _tw(d_hi, w_ref, si, full, p, qinv, False, shoup)
                 x = jnp.where(mask, u, v)
         if lazy:
             x = _csub(
@@ -367,11 +376,14 @@ def _ntt_kernel(logn: int, inverse: bool, lazy: bool,
 
 @functools.lru_cache(maxsize=None)
 def ntt_fn(n: int, primes: tuple[int, ...], rows_block: int = 8,
-           inverse: bool = False):
+           inverse: bool = False, shoup: bool = False):
     logn = n.bit_length() - 1
     P = len(primes)
     assert rows_block % P == 0
-    wstack_np = _stage_twiddles(primes, n, inverse, rows_block)
+    if shoup:
+        wstack_np = _stage_twiddles_shoup(primes, n, inverse, rows_block)
+    else:
+        wstack_np = _stage_twiddles(primes, n, inverse, rows_block)
     from poulpy_tpu.hal.primes import R
 
     p_np = _row_consts(np.array(primes), rows_block)
@@ -382,7 +394,11 @@ def ntt_fn(n: int, primes: tuple[int, ...], rows_block: int = 8,
         np.array([pow(n, -1, q) * R % q for q in primes]), rows_block
     )
     kfn = _ntt_kernel_paired if rows_block % (2 * P) == 0 else _ntt_kernel
-    kernel = functools.partial(kfn, logn, inverse, lazy_ok(primes))
+    kernel = functools.partial(kfn, logn, inverse, lazy_ok(primes), shoup)
+    wspec = pl.BlockSpec(
+        wstack_np.shape, lambda bi: (0,) * wstack_np.ndim,
+        memory_space=pltpu.VMEM,
+    )
 
     def fn(x):  # x: [M·P, N] int32, prime-folded rows (row r → prime r % P)
         m_rows = x.shape[0]
@@ -394,8 +410,7 @@ def ntt_fn(n: int, primes: tuple[int, ...], rows_block: int = 8,
                 in_specs=[
                     pl.BlockSpec((rows_block, n), lambda bi: (bi, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((logn, rows_block, n), lambda bi: (0, 0, 0),
-                                 memory_space=pltpu.VMEM),
+                    wspec,
                     pl.BlockSpec((rows_block, 1), lambda bi: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((rows_block, 1), lambda bi: (0, 0),
@@ -438,7 +453,10 @@ def _apply(tables: NttTables, x, inverse: bool):
     pad = (-m_rows) % rows_block
     if pad:
         xm = jnp.pad(xm, ((0, pad), (0, 0)))
-    out = ntt_fn(n, tables.basis.primes, rows_block, inverse)(xm)
+    import os
+
+    shoup = os.environ.get("POULPY_TPU_SHOUP", "1") != "0"
+    out = ntt_fn(n, tables.basis.primes, rows_block, inverse, shoup)(xm)
     if pad:
         out = out[:m_rows]
     return out.reshape(lead + (P, n)).astype(dtype_in)
