@@ -62,3 +62,65 @@ def test_mont_mul_i32_matches_i64():
             )
         )
         assert np.array_equal(have.astype(np.int64), want)
+
+
+# ---------------------------------------------------------------------------
+# Unit contracts of the scalar-multiply primitives (exact Python oracle):
+# mont_mul (9-multiply slim REDC), Harvey/Shoup stored-quotient multiply.
+# Pure jnp int32 — identical ops to what Mosaic lowers, no kernel needed.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("p", [268369921, 268361729,      # 28-bit (lazy)
+                               1073479681, 1072693249])   # 30-bit (strict)
+def test_mul_primitives_exact(p):
+    R = 1 << 30
+    qinv = (-pow(p, -1, R)) % R
+    k = 4096
+    a = RNG.integers(0, p, size=k, dtype=np.int64)
+    b = RNG.integers(0, p, size=k, dtype=np.int64)
+    # edge values: zeros, p-1, and (lazy-range) values up to min(4p, 2^30)-1
+    a[:4] = [0, 1, p - 1, min(4 * p, 1 << 30) - 1]
+    b[:4] = [0, 1, p - 1, p - 1]
+    av = jnp.asarray(a, dtype=jnp.int32)
+    bv = jnp.asarray(b, dtype=jnp.int32)
+
+    # _mul_hi30 / _mul_lo30 against the full product
+    hi = np.asarray(pntt._mul_hi30(av, bv), dtype=np.int64)
+    lo = np.asarray(pntt._mul_lo30(av, bv), dtype=np.int64)
+    assert (hi == (a * b) >> 30).all()
+    assert (lo == (a * b) & ((1 << 30) - 1)).all()
+
+    # strict Montgomery: canonical a*b*R^{-1} mod p
+    want = a * b % p * pow(R, -1, p) % p
+    got = np.asarray(
+        pntt.mont_mul_i32(av, bv, jnp.int32(p), jnp.int32(qinv)),
+        dtype=np.int64,
+    )
+    assert (got == want).all()
+
+    # lazy Montgomery: congruent and < 2p (valid for a < min(4p, 2^30))
+    gl = np.asarray(
+        pntt.mont_mul_i32_lazy(av, bv, jnp.int32(p), jnp.int32(qinv)),
+        dtype=np.int64,
+    )
+    assert ((gl - want) % p == 0).all() and (gl < 2 * p).all() and (
+        gl >= 0).all()
+
+    # Shoup: w < p with stored quotient; strict = canonical product
+    w = b
+    wq = jnp.asarray((w << 30) // p, dtype=jnp.int32)
+    wv = jnp.asarray(w, dtype=jnp.int32)
+    ws = a * w % p
+    gs = np.asarray(
+        pntt.shoup_mul_i32(
+            jnp.asarray(np.minimum(a, p - 1), dtype=jnp.int32), wv, wq,
+            jnp.int32(p)),
+        dtype=np.int64,
+    )
+    assert (gs == np.minimum(a, p - 1) * w % p).all()
+    # lazy Shoup on the extended operand range: congruent, in [0, 2p)
+    gsl = np.asarray(
+        pntt.shoup_mul_i32_lazy(av, wv, wq, jnp.int32(p)), dtype=np.int64
+    )
+    assert ((gsl - ws) % p == 0).all() and (gsl < 2 * p).all() and (
+        gsl >= 0).all()
