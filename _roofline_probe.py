@@ -59,7 +59,7 @@ class _Ref:
         return self.arr[idx]
 
 
-def trace_kernel(n, prime_bits=28, sl=True):
+def trace_kernel(n, prime_bits=28, sl=True, shoup=False):
     primes = ntt_primes(2, 1 << prime_bits)
     logn = n.bit_length() - 1
     P = len(primes)
@@ -71,8 +71,16 @@ def trace_kernel(n, prime_bits=28, sl=True):
     mdim = c["co"] * c["psize"]
     tail = (n // 128, 128) if sl else (n,)
 
-    wf = _stage_twiddles(primes, n, False, P).reshape((logn, P) + tail)
-    wi = _stage_twiddles(primes, n, True, P).reshape((logn, P) + tail)
+    if shoup:
+        from poulpy_tpu.backends.pallas_ntt import _stage_twiddles_shoup
+
+        wf = _stage_twiddles_shoup(primes, n, False, P).reshape(
+            (logn, 2, P) + tail)
+        wi = _stage_twiddles_shoup(primes, n, True, P).reshape(
+            (logn, 2, P) + tail)
+    else:
+        wf = _stage_twiddles(primes, n, False, P).reshape((logn, P) + tail)
+        wi = _stage_twiddles(primes, n, True, P).reshape((logn, P) + tail)
 
     out = {}
 
@@ -85,6 +93,7 @@ def trace_kernel(n, prime_bits=28, sl=True):
             n, logn, primes, qinvs, ninvs, basis,
             T_TILE, c["cols"], c["size_a"], c["rmax"], c["co"], c["psize"],
             c["res_size"], c["kr"], c["ka"], 0, 1, False, False, 0, 0,
+            shoup,
             _Ref(a), _Ref(jnp.asarray(wf)), _Ref(jnp.asarray(wi)),
             _Ref(pm), _ORef(),
         )
@@ -131,11 +140,12 @@ def tally(jaxpr):
 
 
 def main():
-    for sl in (False, True):
-        jx = trace_kernel(N, 28, sl)
+    for sl, shoup in ((False, False), (False, True)):
+        jx = trace_kernel(N, 28, sl, shoup)
         total, counts = tally(jx)
         per_product = total / T_TILE
-        print(f"--- layout {'[S,128] split' if sl else f'[{N}] flat'} ---")
+        print(f"--- layout [{N}] flat, "
+              f"{'Shoup' if shoup else 'Montgomery'} butterflies ---")
         top = counts.most_common(12)
         print("  primitives:", dict(top))
         print(f"  weighted vreg-ops / ext-product: {per_product:,.0f}")
