@@ -247,40 +247,91 @@ def bench_ckks_mul_wide(batch=64, iters=5):
 
 
 def main():
+    rows = []
     gbs = bench_gate_bootstrap()
     # denominator: derived CPU block-binary gate bootstrap ~310/s
     # (measured baseline_bench.cpp phase costs scaled to N=1024;
     # BENCH_NOTES.md "baseline denominator")
-    print(json.dumps({
+    rows.append({
         "metric": "gate_bootstraps_per_s_chip_nand_n1024",
         "value": round(gbs, 1), "unit": "bootstraps/s",
         "vs_baseline": round(gbs / 310.0, 3),
-    }))
+    })
     p50 = bench_keyswitch()
-    print(json.dumps({
+    rows.append({
         "metric": "keyswitch_p50_latency_n2048",
         "value": round(p50, 3), "unit": "ms", "vs_baseline": None,
-    }))
+    })
     dev = bench_keyswitch_device()
-    print(json.dumps({
+    rows.append({
         "metric": "keyswitch_device_latency_n2048",
         "value": round(dev, 4), "unit": "ms", "vs_baseline": None,
-    }))
+    })
     thr = bench_keyswitch_batched()
-    print(json.dumps({
+    rows.append({
         "metric": "keyswitch_throughput_n2048",
         "value": round(thr, 1), "unit": "cts/s", "vs_baseline": None,
-    }))
+    })
     ck = bench_ckks_mul()
-    print(json.dumps({
+    rows.append({
         "metric": "ckks_mul_rescale_per_s_n2048",
         "value": round(ck, 1), "unit": "muls/s", "vs_baseline": None,
-    }))
+    })
     ckw = bench_ckks_mul_wide()
-    print(json.dumps({
+    rows.append({
         "metric": "ckks_mul_wide_base2k52_per_s_n2048",
         "value": round(ckw, 1), "unit": "muls/s", "vs_baseline": None,
-    }))
+    })
+    for row in rows:
+        print(json.dumps(row))
+    _baseline_compare(rows)
+
+
+# Lower-is-better metrics for --baseline regression comparison.
+_LATENCY_METRICS = {"keyswitch_p50_latency_n2048",
+                    "keyswitch_device_latency_n2048"}
+
+
+def _baseline_compare(rows, tol=0.05):
+    """poulpy-bench `standard` analogue (SURVEY §2.7: Criterion
+    --save-baseline/--baseline): `--save-baseline NAME` stores this run
+    under .bench_baselines/NAME.json; `--baseline NAME` diffs against a
+    stored run and exits 1 on any metric >5% worse."""
+    import sys
+    from pathlib import Path
+
+    args = sys.argv[1:]
+    bdir = Path(__file__).parent / ".bench_baselines"
+
+    def _arg(flag):
+        return args[args.index(flag) + 1] if flag in args else None
+
+    name = _arg("--save-baseline")
+    if name:
+        bdir.mkdir(exist_ok=True)
+        (bdir / f"{name}.json").write_text(json.dumps(rows, indent=1))
+        print(json.dumps({"baseline_saved": name}))
+    name = _arg("--baseline")
+    if name:
+        base = {r["metric"]: r for r in
+                json.loads((bdir / f"{name}.json").read_text())}
+        regressed = []
+        for r in rows:
+            b = base.get(r["metric"])
+            if b is None or not b["value"]:
+                continue
+            ratio = r["value"] / b["value"]
+            worse = ratio > 1 + tol if r["metric"] in _LATENCY_METRICS \
+                else ratio < 1 - tol
+            if worse:
+                regressed.append(r["metric"])
+            print(json.dumps({
+                "metric": r["metric"], "baseline": b["value"],
+                "now": r["value"], "ratio": round(ratio, 3),
+                "regressed": worse,
+            }))
+        if regressed:
+            raise SystemExit(f"regressions vs '{name}': {regressed}")
 
 
 if __name__ == "__main__":
