@@ -13,3 +13,9 @@ from poulpy_tpu.binfhe.blind_rotation import (  # noqa: F401
     blind_rotation_execute,
     blind_rotation_key_encrypt_sk,
 )
+from poulpy_tpu.binfhe.blind_retrieval import (  # noqa: F401
+    GLWEBlindRetriever,
+    glwe_blind_retrieval,
+    glwe_blind_retrieval_rev,
+    glwe_cswap,
+)
