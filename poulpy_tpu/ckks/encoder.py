@@ -7,9 +7,17 @@ real.  Implemented host-side with numpy f64 FFTs (TPUs have no f64; the
 encoder runs at data ingress/egress only — the reference likewise treats it
 as a host-side float transform).
 
-Slot ordering follows the generator orbit t_k = 5^k mod 2N (the reference
-additionally bit-reverses its table-order indices, reim.rs:31-38; orderings
-agree up to a fixed permutation and are self-consistent here).
+Slot ordering CONTRACT (pinned by tests/test_ckks.py::
+test_rotate_many_r_and_ordering): slot k sits at the generator-orbit root
+ζ^{5^k}, indexed directly in orbit order.  The reference stores the same
+orbit in bit-reversed table order (poulpy-ckks/src/encoding/reim.rs:31-38);
+the two slot layouts differ by exactly that fixed bit-reversal
+permutation of slot indices.  Under both layouts the automorphism
+X → X^{5^r} is the cyclic slot rotation np.roll(slots, -r) and X → X^{-1}
+is slotwise conjugation, so every scheme-level op (rotate/conjugate and
+anything built on them) behaves identically; only raw slot-index ↔ root
+correspondence differs, and it never crosses the wire (encode/decode are
+host-side).
 """
 
 from __future__ import annotations
@@ -47,6 +55,25 @@ class Encoder:
         p = np.fft.fft(spec, axis=-1) / self.n
         coeffs = np.real(p / self.twist)
         return np.rint(coeffs * float(2**log_delta)).astype(np.int64)
+
+    def encode_rnx(self, z: np.ndarray) -> np.ndarray:
+        """Complex slots [..., m] → FLOAT coefficients [..., N], the
+        pre-quantization VecRnx form (plaintext/vec.rs:21 — the slot
+        encoder produces/consumes this form; quantization happens later in
+        vec_rnx_to_znx)."""
+        z = np.asarray(z, dtype=np.complex128)
+        assert z.shape[-1] == self.m
+        spec = np.zeros(z.shape[:-1] + (self.n,), dtype=np.complex128)
+        spec[..., self.s] = z
+        spec[..., self.s_conj] = np.conj(z)
+        p = np.fft.fft(spec, axis=-1) / self.n
+        return np.real(p / self.twist)
+
+    def decode_rnx(self, coeffs: np.ndarray) -> np.ndarray:
+        """Float coefficients [..., N] → complex slots [..., m]."""
+        p = np.asarray(coeffs, dtype=np.float64) * self.twist
+        ev = self.n * np.fft.ifft(p, axis=-1)
+        return ev[..., self.s]
 
     def decode(self, coeffs: np.ndarray, log_delta: int) -> np.ndarray:
         """Integer coefficients [..., N] → complex slots [..., m]."""

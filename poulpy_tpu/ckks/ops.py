@@ -197,6 +197,28 @@ def rescale(a: CKKSCiphertext, k: int) -> CKKSCiphertext:
     )
 
 
+def _truncate_to_eff(data, base2k: int, eff_k: int):
+    """Truncate a limb tensor [..., size, N] to EXACTLY eff_k bits of torus
+    precision: keep ceil(eff_k/base2k) limbs and MSB-mask the bottom limb
+    (msb_mask_bottom_limb, poulpy-core/src/operations/glwe.rs:921-926; the
+    reference's tensor/mul_plain paths assert operands arrive at effective
+    size, glwe.rs:208-217).
+
+    Load-bearing for ct×ct: with operands exact multiples of 2^-eff, every
+    mask-wrap cross term (I·v, I·I — CLAUDE.md) becomes an integer under
+    the landing shift and wraps away EXACTLY mod 1.  Convolving the full
+    limb tail instead leaks I·noise terms scaled 2^{off−k} into the result
+    (regression: tests/test_ckks.py::test_mul_many_balanced_tree — product
+    cts and short-k cts decoded garbage)."""
+    size = -(-eff_k // base2k)
+    d = data[..., :size, :]
+    r = eff_k % base2k
+    if r:
+        mask = (-1) << (base2k - r)
+        d = d.at[..., size - 1, :].set(d[..., size - 1, :] & mask)
+    return d
+
+
 @functools.partial(jax.jit, static_argnames=("module", "res_k"))
 def mul(
     module: Module,
@@ -207,15 +229,27 @@ def mul(
 ) -> CKKSCiphertext:
     """ct × ct with relinearization (default/mul.rs:25-120).
 
-    The torus product A·B (exact bivariate convolution) is landed at the new
-    scale with a single power-of-two offset inside the final normalization —
-    the bit-shift rescale that replaces RNS modswitching.
+    The torus product A·B (exact bivariate convolution of the operands
+    truncated to their effective precision) is landed at the new scale with
+    a single power-of-two offset inside the final normalization — the
+    bit-shift rescale that replaces RNS modswitching.
     """
     ga, gb = a.glwe, b.glwe
     if ga.base2k != gb.base2k:
         raise PlaintextBase2KMismatch("mul", ga.base2k, gb.base2k)
     base2k = ga.base2k
     res_k = max(ga.k, gb.k) if res_k is None else res_k
+    # operands enter the convolution at effective precision (see
+    # _truncate_to_eff; ckks_mul_into passes effective_k through to
+    # glwe_tensor_apply, leveled/default/mul.rs:70-78)
+    ga = GLWECiphertext(
+        data=_truncate_to_eff(ga.data, base2k, a.meta.effective_k),
+        base2k=base2k, k=min(ga.k, -(-a.meta.effective_k // base2k) * base2k),
+    )
+    gb = GLWECiphertext(
+        data=_truncate_to_eff(gb.data, base2k, b.meta.effective_k),
+        base2k=base2k, k=min(gb.k, -(-b.meta.effective_k // base2k) * base2k),
+    )
 
     d1, d2 = a.meta.log_delta, b.meta.log_delta
     b1, b2 = a.meta.log_budget, b.meta.log_budget
@@ -322,9 +356,13 @@ def mul_plain(
     e_res = res_budget + res_delta
     off_bits = (a.effective_k + pt.meta.effective_k) - pt.meta.log_delta - e_res
 
-    pt_prep = dft.cnv_prepare_right(module, pt.pt.data)
-    ct_prep = dft.cnv_prepare_left(module, ga.data)
-    conv_size = ga.size + pt.pt.size - 1
+    # both operands at effective precision (reference glwe_mul_plain MSB
+    # masks, operations/glwe.rs:217-221 — see _truncate_to_eff)
+    ct_data = _truncate_to_eff(ga.data, base2k, a.meta.effective_k)
+    pt_data = _truncate_to_eff(pt.pt.data, base2k, pt.meta.effective_k)
+    pt_prep = dft.cnv_prepare_right(module, pt_data)
+    ct_prep = dft.cnv_prepare_left(module, ct_data)
+    conv_size = ct_data.shape[-2] + pt_data.shape[-2] - 1
     prod = dft.cnv_apply(module, ct_prep, pt_prep, conv_size)
     bits = dft.product_bits(
         base2k, base2k, module.log_n, min(ga.size, pt.pt.size)
@@ -396,6 +434,48 @@ def dot_product(module, xs, ys, tensor_key):
     return add_many([mul(module, x, y, tensor_key) for x, y in zip(xs, ys)])
 
 
+def mul_many(
+    module, cts: list[CKKSCiphertext], tensor_key, res_k: int | None = None
+) -> CKKSCiphertext:
+    """Balanced-binary-tree product of n ciphertexts
+    (leveled/api/composite.rs:45-51, recursion in delegates/composite.rs
+    mul_many_rec:107-165): depth ⌈log2 n⌉ sequential muls instead of the
+    left fold's n−1 — ⌈log2 n⌉·Δ budget spent instead of (n−1)·Δ, and the
+    shorter critical path is also the jit-friendly shape (the tree's
+    independent muls batch/parallelize where a fold cannot).
+
+    Intermediate products are TRUNCATED to the subtree's surviving
+    precision, k_sub = min_eff_k − ⌈log2 n_sub⌉·Δ, exactly as the reference
+    allocates its left/right scratch GLWEs (composite.rs:136-152).  This is
+    load-bearing, not an optimization: the raw tensor product's mask-wrap
+    cross terms (I·noise, see CLAUDE.md) land BELOW e_res but inside a
+    full-k ciphertext, and feeding such a ct into the next level poisons it
+    — with k_sub = eff_k the landing shift of the next mul is ≥ the
+    operand's quantization depth, so every integer-part cross term wraps
+    away mod 1 exactly."""
+    if not cts:
+        raise ValueError("mul_many: inputs must contain at least one ct")
+    if any(c.meta.log_delta != cts[0].meta.log_delta for c in cts):
+        raise ValueError("mul_many: all inputs must share log_delta")
+    if len(cts) == 1:
+        return cts[0]
+    if len(cts) == 2:
+        return mul(module, cts[0], cts[1], tensor_key, res_k=res_k)
+    log_delta = cts[0].meta.log_delta
+
+    def branch(sub):
+        if len(sub) == 1:
+            return sub[0]
+        sub_k = (min(c.meta.effective_k for c in sub)
+                 - (len(sub) - 1).bit_length() * log_delta)
+        return mul_many(module, sub, tensor_key, res_k=sub_k)
+
+    mid = len(cts) // 2
+    left = branch(cts[:mid])
+    right = branch(cts[mid:])
+    return mul(module, left, right, tensor_key, res_k=res_k)
+
+
 def mul_const(a: CKKSCiphertext, c: float, log_delta_c: int) -> CKKSCiphertext:
     """ct × scalar constant (CKKSPlaintextCstRnx path,
     poulpy-ckks/src/layouts/plaintext/cst.rs + default/mul.rs const-mul):
@@ -403,11 +483,14 @@ def mul_const(a: CKKSCiphertext, c: float, log_delta_c: int) -> CKKSCiphertext:
     the budget."""
     ci = int(round(c * (1 << log_delta_c)))
     budget = _checked_sub("mul_const", a.log_budget, log_delta_c)
+    # multiplying the limbs by round(c·2^{log_delta_c}) grows the torus
+    # value by exactly 2^{log_delta_c}; the budget decrement IS that scale
+    # landing (effective_k drops by log_delta_c) — no extra shift, or the
+    # constant's scale would be divided out twice (regression:
+    # tests/test_ckks.py::test_mul_add_const_scalar).
     glwe = glwe_mul_scalar(ci, a.glwe)
-    # value now scaled by c·2^{log_delta_c}; shift the constant's scale back
-    # out so delta stays fixed (budget paid for it)
     return CKKSCiphertext(
-        glwe=glwe_lsh(-log_delta_c, glwe),
+        glwe=glwe,
         meta=CKKSMeta(log_delta=a.meta.log_delta, log_budget=budget),
     )
 
@@ -416,7 +499,10 @@ def add_const(a: CKKSCiphertext, c: float) -> CKKSCiphertext:
     """ct + scalar constant (CstRnx add): adds c·Δ to the body's constant
     slot-broadcast (all slots shift by c — the encoder maps a constant to the
     degree-0 coefficient)."""
-    ci = int(round(c * (1 << a.meta.effective_k)))
+    # the ct encodes slot values as integers c·2^{log_delta} at torus
+    # precision effective_k; a constant must enter at the SAME scale
+    # (regression: tests/test_ckks.py::test_mul_add_const_scalar)
+    ci = int(round(c * (1 << a.meta.log_delta)))
     size = a.glwe.size
     base2k = a.glwe.base2k
     import jax.numpy as jnp
