@@ -235,6 +235,70 @@ def glwe_tensor_key_decompress(module: Module, keys: dict) -> dict:
     return {ij: gglwe_decompress(module, c) for ij, c in keys.items()}
 
 
+def gglwe_to_ggsw_key_encrypt_sk_compressed(
+    module: Module, sk, sk_prepared: GLWESecretPrepared, base2k: int, k: int,
+    dnum: int, source_xe: Source, source_xa: Source, dsize: int = 1, **kw,
+) -> list[GGLWECompressed]:
+    """Seeded GGLWEToGGSWKey (compressed/gglwe_to_ggsw_key.rs:20-113): one
+    seeded GGLWE per rank element j, each encrypting (s_j·s_0, …,
+    s_j·s_{rank-1}) on its own branch of the mask stream — the same
+    plaintext construction as conversion.gglwe_to_ggsw_key_encrypt_sk."""
+    from poulpy_tpu.hal import dft
+
+    rank = sk.rank
+    keys = []
+    for j in range(rank):
+        sj_p = dft.svp_prepare(module, sk.data[j])
+        pts = []
+        for i in range(rank):
+            si_dft = dft.dft_apply(module, sk.data[i][None, :])
+            pts.append(
+                dft.idft_apply(module, dft.svp_apply(module, si_dft, sj_p))[0]
+            )
+        pt = jnp.stack(pts, axis=0)
+        keys.append(gglwe_encrypt_sk_compressed(
+            module, pt, sk_prepared, base2k, k, dnum,
+            source_xe, source_xa, dsize=dsize, **kw,
+        ))
+    return keys
+
+
+def gglwe_to_ggsw_key_decompress(module: Module, keys: list[GGLWECompressed]):
+    """Regenerate the full prepared key list — the decompressed form feeds
+    conversion.ggsw_from_gglwe directly (matching the non-compressed
+    keygen's list[GGLWEPrepared] return)."""
+    from poulpy_tpu.core.prepared import gglwe_prepare
+
+    return [gglwe_prepare(module, gglwe_decompress(module, c)) for c in keys]
+
+
+def lwe_switching_key_encrypt_sk_compressed(
+    module: Module, sk_lwe_in, sk_lwe_out, base2k: int, k: int, dnum: int,
+    source_xe: Source, source_xa: Source, **kw,
+) -> GGLWECompressed:
+    """Seeded LWESwitchingKey (compressed/lwe_switching_key.rs:18-115): the
+    seeded rank-1 GLWE switching key between the φ_{-1}-embedded images of
+    the two LWE secrets (newtype in the reference)."""
+    from poulpy_tpu.core.conversion import lwe_secret_as_glwe
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
+
+    sk_in = lwe_secret_as_glwe(module, sk_lwe_in)
+    sk_out_prep = glwe_secret_prepare(
+        module, lwe_secret_as_glwe(module, sk_lwe_out)
+    )
+    return glwe_switching_key_encrypt_sk_compressed(
+        module, sk_in, sk_out_prep, base2k, k, dnum,
+        source_xe, source_xa, **kw,
+    )
+
+
+def lwe_switching_key_decompress(module: Module, c: GGLWECompressed):
+    """Prepared form, ready for keyswitching.lwe_keyswitch."""
+    from poulpy_tpu.core.prepared import gglwe_prepare
+
+    return gglwe_prepare(module, gglwe_decompress(module, c))
+
+
 @struct.dataclass
 class GGSWCompressed:
     """GGSW bodies + one mask seed (layouts/compressed/ggsw.rs:21).
