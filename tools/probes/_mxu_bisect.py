@@ -32,7 +32,7 @@ from poulpy_tpu.hal.primes import R, ntt_primes
 
 N = 2048
 N1, N2 = _split(N)
-PRIMES = ntt_primes(2)
+PRIMES = ntt_primes(2, 1 << 28)  # match the failing repro config (ADVICE r3)
 QINVS = tuple((-pow(p, -1, R)) % R for p in PRIMES)
 TABS = _host_tables_mxu(PRIMES, N)
 ROWS = 48  # t_tile=8 · cols=2 · rmax=3, the bench shape
