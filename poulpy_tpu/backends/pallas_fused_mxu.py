@@ -66,7 +66,7 @@ from poulpy_tpu.backends.pallas_fused import (
 from poulpy_tpu.backends.pallas_mxu import (
     _assemble_redc,
     _digit_planes,
-    _dot8,
+    _dot8_digits,
     _host_tables_mxu,
 )
 from poulpy_tpu.backends.pallas_ntt import _add_mod, _sub_mod, mont_mul_i32
@@ -87,17 +87,17 @@ def _fwd_rows(x, ua_ref, v0_ref, tf_ref, primes, qinvs, nd_in, n1, n2):
     out = []
     for pi, p in enumerate(primes):
         qinv = qinvs[pi]
-        pa = _dot8(lhs_a, ua_ref[pi, : nd_in * n2])      # [rows·n1, 4·n2]
-        pas = [pa[:, d * n2 : (d + 1) * n2].reshape(rows, n1, n2)
-               for d in range(NDIG)]
+        # split dots per digit block — NOT one dot + lane slices
+        # (Mosaic miscompile, see _dot8_digits)
+        pas = [t.reshape(rows, n1, n2)
+               for t in _dot8_digits(lhs_a, ua_ref[pi, : nd_in * n2], n2)]
         a = _assemble_redc(*pas, p, qinv)                # [rows, n1, k2]
         a = mont_mul_i32(a, tf_ref[pi][None], p, qinv)
         at = jnp.swapaxes(a, 1, 2)                       # [rows, k2, n1]
         pl_b = _digit_planes(at, NDIG)
         lhs_b = jnp.concatenate(pl_b, axis=-1).reshape(rows * n2, NDIG * n1)
-        pb = _dot8(lhs_b, v0_ref[pi])                    # [rows·k2, 4·n1]
-        pbs = [pb[:, d * n1 : (d + 1) * n1].reshape(rows, n2, n1)
-               for d in range(NDIG)]
+        pbs = [t.reshape(rows, n2, n1)
+               for t in _dot8_digits(lhs_b, v0_ref[pi], n1)]
         out.append(_assemble_redc(*pbs, p, qinv))        # [rows, k2, k1]
     return out
 
@@ -108,17 +108,15 @@ def _inv_rows(y, pi, wa_ref, w0_ref, ti_ref, p, qinv, n1, n2):
     rows = y.shape[0]
     planes = _digit_planes(y, NDIG)
     lhs_a = jnp.concatenate(planes, axis=-1).reshape(rows * n2, NDIG * n1)
-    pa = _dot8(lhs_a, wa_ref[pi])                        # [rows·k2, 4·n1]
-    pas = [pa[:, d * n1 : (d + 1) * n1].reshape(rows, n2, n1)
-           for d in range(NDIG)]
+    pas = [t.reshape(rows, n2, n1)
+           for t in _dot8_digits(lhs_a, wa_ref[pi], n1)]
     b = _assemble_redc(*pas, p, qinv)                    # [rows, k2, n1]
     bt = jnp.swapaxes(b, 1, 2)                           # [rows, n1, k2]
     bt = mont_mul_i32(bt, ti_ref[pi][None], p, qinv)
     pl_b = _digit_planes(bt, NDIG)
     lhs_b = jnp.concatenate(pl_b, axis=-1).reshape(rows * n1, NDIG * n2)
-    pb = _dot8(lhs_b, w0_ref[pi])                        # [rows·n1, 4·n2]
-    pbs = [pb[:, d * n2 : (d + 1) * n2].reshape(rows, n1, n2)
-           for d in range(NDIG)]
+    pbs = [t.reshape(rows, n1, n2)
+           for t in _dot8_digits(lhs_b, w0_ref[pi], n2)]
     xx = _assemble_redc(*pbs, p, qinv)                   # [rows, n1, n2]
     return jnp.swapaxes(xx, 1, 2)                        # [rows, n2, n1]
 

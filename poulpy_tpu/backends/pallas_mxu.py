@@ -189,6 +189,20 @@ def _dot8(a, b):
     )
 
 
+def _dot8_digits(lhs, tab, w: int):
+    """Per-digit int8 MXU dots against tab's NDIG column blocks of width w.
+
+    Deliberately NOT one dot followed by lane slices: Mosaic miscompiles
+    lane-offset slices of an int8 dot's i32 accumulator on real hardware —
+    sparse wrong values (772/98304 at bench shapes) that survive even a
+    VMEM scratch roundtrip, while slicing a plain VMEM ref and the dot
+    itself are each exact, and interpret mode never reproduces it
+    (tools/probes/_mxu_repro10/11/12, 2026-08-21).  Splitting the dot by
+    table column block keeps every consumed tensor in a layout Mosaic
+    handles correctly."""
+    return [_dot8(lhs, tab[:, d * w: (d + 1) * w]) for d in range(NDIG)]
+
+
 def _kernel_fwd(n, n1, n2, primes, qinvs, nd_in, tr,
                 x_ref, ua_ref, v0_ref, tf_ref, o_ref):
     # o_ref: [Tr, P, n2, n1] — row axis MAJOR so Mosaic pipelines the
@@ -201,18 +215,17 @@ def _kernel_fwd(n, n1, n2, primes, qinvs, nd_in, tr,
     lhs_a = jnp.concatenate(planes, axis=-1).reshape(tr * n1, nd_in * n2)
     for pi, p in enumerate(primes):
         qinv = qinvs[pi]
-        pa = _dot8(lhs_a, ua_ref[pi, : nd_in * n2])  # [Tr·n1, 4·n2]
-        # Mosaic cannot split a lane dim in reshape: slice the digit chunks
-        pas = [pa[:, d * n2 : (d + 1) * n2].reshape(tr, n1, n2)
-               for d in range(NDIG)]
+        # split dots per digit block — NOT one dot + lane slices
+        # (Mosaic miscompile, see _dot8_digits)
+        pas = [t.reshape(tr, n1, n2)
+               for t in _dot8_digits(lhs_a, ua_ref[pi, : nd_in * n2], n2)]
         a = _assemble_redc(*pas, p, qinv)            # [Tr, n1, k2]
         a = _mont_mul_pk(a, tf_ref[pi][None], p, qinv)
         at = jnp.swapaxes(a, 1, 2)                   # [Tr, k2, n1]
         pl_b = _digit_planes(at, NDIG)
         lhs_b = jnp.concatenate(pl_b, axis=-1).reshape(tr * n2, NDIG * n1)
-        pb = _dot8(lhs_b, v0_ref[pi])                # [Tr·n2, 4·n1]
-        pbs = [pb[:, d * n1 : (d + 1) * n1].reshape(tr, n2, n1)
-               for d in range(NDIG)]
+        pbs = [t.reshape(tr, n2, n1)
+               for t in _dot8_digits(lhs_b, v0_ref[pi], n1)]
         o_ref[:, pi] = _assemble_redc(*pbs, p, qinv)  # [Tr, k2, k1]
 
 
@@ -224,17 +237,15 @@ def _kernel_inv(n, n1, n2, primes, qinvs, tr,
         y = y_ref[:, pi]                             # [Tr, k2, k1]
         planes = _digit_planes(y, NDIG)
         lhs_a = jnp.concatenate(planes, axis=-1).reshape(tr * n2, NDIG * n1)
-        pa = _dot8(lhs_a, wa_ref[pi])                # [Tr·k2, 4·n1]
-        pas = [pa[:, d * n1 : (d + 1) * n1].reshape(tr, n2, n1)
-               for d in range(NDIG)]
+        pas = [t.reshape(tr, n2, n1)
+               for t in _dot8_digits(lhs_a, wa_ref[pi], n1)]
         b = _assemble_redc(*pas, p, qinv)            # [Tr, k2, n1]
         bt = jnp.swapaxes(b, 1, 2)                   # [Tr, n1, k2]
         bt = _mont_mul_pk(bt, ti_ref[pi][None], p, qinv)
         pl_b = _digit_planes(bt, NDIG)
         lhs_b = jnp.concatenate(pl_b, axis=-1).reshape(tr * n1, NDIG * n2)
-        pb = _dot8(lhs_b, w0_ref[pi])                # [Tr·n1, 4·n2]
-        pbs = [pb[:, d * n2 : (d + 1) * n2].reshape(tr, n1, n2)
-               for d in range(NDIG)]
+        pbs = [t.reshape(tr, n1, n2)
+               for t in _dot8_digits(lhs_b, w0_ref[pi], n2)]
         xx = _assemble_redc(*pbs, p, qinv)           # [Tr, n1, n2]
         o_ref[:, pi] = jnp.swapaxes(xx, 1, 2)        # [Tr, n2, n1]
 

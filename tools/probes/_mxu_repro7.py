@@ -12,9 +12,16 @@ This probe calls the REAL _pipe_mxu_fn at bp == t_tile (grid=(1,)) with
 synthetic kernel-layout inputs (same distribution as repro3): device vs
 interpret.  FAIL → config bug; PASS → host-side transform bug.
 
-Run: timeout 1700 env PYTHONPATH=/root/repo:/root/.axon_site \
-       python tools/probes/_mxu_repro7.py
+Two-phase (interpret of the full kernel over the TPU tunnel is too
+slow to finish): compute the truth on CPU, then device-only compare.
+
+Run: env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= PYTHONPATH=/root/repo \
+       python tools/probes/_mxu_repro7.py cpu
+     timeout 1700 env PYTHONPATH=/root/repo:/root/.axon_site \
+       python tools/probes/_mxu_repro7.py tpu
 """
+
+import sys
 
 import os
 
@@ -42,7 +49,11 @@ RES_SIZE, KR, KA = 3, 17, 17
 P = len(PRIMES)
 
 
+WANT = "/tmp/mxu7_want.npy"
+
+
 def main():
+    phase = sys.argv[1]
     rng = np.random.default_rng(3)
     a = rng.integers(-(2**16), 2**16,
                      size=(T * KK, N2, N1)).astype(np.int32)
@@ -56,9 +67,14 @@ def main():
         N, PRIMES, T, CI, RMAX, RMAX, CO, PSIZE,
         RES_SIZE, KR, KA, 0, 1, False, 0, False, NDIG,
     )
+    if phase == "cpu":
+        with pltpu.force_tpu_interpret_mode():
+            ref = np.asarray(fn(aj, pj))
+        np.save(WANT, ref)
+        print("cpu truth saved", flush=True)
+        return
+    ref = np.load(WANT)
     dev = np.asarray(jax.block_until_ready(jax.jit(fn)(aj, pj)))
-    with pltpu.force_tpu_interpret_mode():
-        ref = np.asarray(fn(aj, pj))
     bad = int((dev != ref).sum())
     print(f"real _pipe_mxu_fn grid=1: exact={bad == 0} "
           f"mismatches={bad}/{dev.size}", flush=True)
