@@ -158,22 +158,25 @@ def main():
         g = ggswp.replace(pmat=pmat)
         return glwe_external_product(m, a, g).data
 
-    out = step(ct_data, pmat)
-    jax.block_until_ready(out)  # compile + warm
-
     # The timed region ends with a HOST materialization of a value that
     # depends on every element of the final iterate: an async-dispatch or
     # early-return regression in the device plugin then cannot fake
     # completion (round-3 postmortem: block_until_ready alone through the
     # axon tunnel once returned before the work retired, recording a
-    # 2,473x-impossible throughput).  jnp.sum(out) is one extra
-    # HBM-bandwidth reduce + an 8-byte transfer — noise vs the ~1.3 s of
-    # chained dispatches it guards.
+    # 2,473x-impossible throughput).  The checksum fn MUST be jitted and
+    # warmed before t0 — its first execution pays a 2.5-10 s remote
+    # compile, which inside the timed region silently triples the
+    # per-iteration read (postmortem 2026-08-21: 376-1125 ms/iter vs the
+    # true 130 ms).  Warmed, it costs one HBM reduce + an 8-byte pull.
+    csum = jax.jit(lambda o: jnp.sum(jnp.abs(o) % 65536))
+    out = step(ct_data, pmat)
+    int(np.asarray(csum(out)))  # compile + warm both programs
+
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(out, pmat)
-    checksum = int(np.asarray(jnp.sum(jnp.abs(out) % 65536)))
+    checksum = int(np.asarray(csum(out)))
     dt = time.perf_counter() - t0
 
     per_iter_ms = dt / iters * 1e3
