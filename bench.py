@@ -172,7 +172,10 @@ def main():
     out = step(ct_data, pmat)
     int(np.asarray(csum(out)))  # compile + warm both programs
 
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    # 30 iterations amortize the end-of-region checksum + final dispatch
+    # barrier to ~1 ms/iter (10 iters read ~25% low: 98k vs the probe's
+    # 126k for the identical chained loop)
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = step(out, pmat)
