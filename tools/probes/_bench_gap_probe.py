@@ -1,5 +1,8 @@
-"""Why does bench.py read 43.6k/s while _shoup_probe reads 127k/s on the
-same chip, same kernel, same shapes?
+"""Why did bench.py read 43.6k/s while _shoup_probe read 127k/s on the
+same chip, same kernel, same shapes?  (RESOLVED: all three variants below
+measure ~126-129k/s — the bench's slow readings were its checksum's
+first execution paying a multi-second remote compile inside the timed
+region; see bench.py's warmed-checksum comment.)
 
 Times three variants at the headline config in ONE process:
   direct-indep — fused_glwe_product, same inputs each iter (the probe's
