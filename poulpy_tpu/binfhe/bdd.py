@@ -207,7 +207,12 @@ class FheUintPrepared:
 
 @dataclass
 class BDDKey:
-    """{cbt, ks_lwe} bundle (bdd_arithmetic/key.rs:128-137)."""
+    """{cbt, ks_glwe?, ks_lwe} bundle (bdd_arithmetic/key.rs:128-137).
+
+    ks_glwe is the OPTIONAL GLWE→GLWE rank-reduction switching key
+    (key.rs:64-66: present when the input ciphertext's GLWE rank differs
+    from the bootstrapping key's); applied before bit extraction exactly
+    as fhe_uint.rs get_bit_lwe:384-398."""
 
     cbt: CircuitBootstrappingKey
     ks_lwe: object  # GGLWEPrepared: GLWE→LWE switching key
@@ -217,6 +222,7 @@ class BDDKey:
     dnum_ggsw: int
     k_ggsw: int
     extension_factor: int = 1  # forwarded to the CBT blind rotation
+    ks_glwe: object = None  # GGLWEPrepared rank-reduction key, or None
 
 
 def fheuint_encrypt(
@@ -262,8 +268,14 @@ def fheuint_prepare(
     from poulpy_tpu.core.operations import glwe_rotate
 
     w = ct.width
+    glwe = ct.glwe
+    if key.ks_glwe is not None:
+        # rank reduction first (get_bit_lwe, fhe_uint.rs:385-394): switch
+        # the input to the bootstrapping key's rank before extraction
+        glwe = glwe_keyswitch(module, glwe, key.ks_glwe, key.base2k,
+                              key.k_ct)
     shifts = -jnp.arange(w, dtype=jnp.int64)[:, None, None]
-    rot = glwe_rotate(shifts, ct.glwe)          # [w, rank+1, size, N]
+    rot = glwe_rotate(shifts, glwe)             # [w, rank+1, size, N]
     ks = glwe_keyswitch(module, rot, key.ks_lwe, key.base2k, key.k_ct)
     lwe = lwe_sample_extract(ks, key.n_lwe, key.k_ct)
     ggsw = circuit_bootstrap(

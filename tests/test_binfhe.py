@@ -489,3 +489,47 @@ def test_circuit_bootstrap_block_extended():
     got = np.asarray(vec_znx.decode_vec_i64(
         base2k, 30, dec.glwe_decrypt(m, out, skp).data))
     assert np.abs(got - want).max() <= 1024
+
+
+def test_fheuint_prepare_rank_reduction_ks_glwe():
+    """BDDKey.ks_glwe (bdd_arithmetic/key.rs:64-66, fhe_uint.rs
+    get_bit_lwe:384-398): a rank-2-encrypted FheUint is switched down to
+    the rank-1 bootstrapping key before bit extraction, then prepares and
+    re-packs to the same value through the Identity circuit."""
+    from poulpy_tpu.binfhe import bdd as bddm
+    from poulpy_tpu.core.conversion import glwe_to_lwe_key_encrypt_sk
+
+    m = get_module(64, 4)
+    base2k = 17
+    src = Source(b"\x31" * 32)
+    xe, xa = Source(b"\x32" * 32), Source(b"\x33" * 32)
+    n_lwe = 16
+    sk_lwe = src.binary_prob((n_lwe,))
+    sk1 = enc.secret_new(m, 1, src)          # bootstrapping-rank secret
+    sk2 = enc.secret_new(m, 2, src)          # input ciphertext rank 2
+    skp1 = glwe_secret_prepare(m, sk1)
+    skp2 = glwe_secret_prepare(m, sk2)
+    cbt = circuit_bootstrapping_keygen(
+        m, sk_lwe, sk1, skp1, base2k,
+        k_brk=68, dnum_brk=4, k_atk=68, dnum_atk=4, k_tsk=68, dnum_tsk=4,
+        source_xe=xe, source_xa=xa,
+    )
+    ks_lwe = glwe_to_lwe_key_encrypt_sk(
+        m, jnp.asarray(sk_lwe), sk1, base2k, 51, dnum=3,
+        source_xe=xe, source_xa=xa,
+    )
+    from poulpy_tpu.core.prepared import gglwe_prepare
+
+    ks_glwe = gglwe_prepare(m, enc.glwe_switching_key_encrypt_sk(
+        m, sk2, skp1, base2k, 68, dnum=3, source_xe=xe, source_xa=xa,
+    ))
+    key = bddm.BDDKey(
+        cbt=cbt, ks_lwe=ks_lwe, n_lwe=n_lwe, base2k=base2k,
+        k_ct=51, dnum_ggsw=3, k_ggsw=51, ks_glwe=ks_glwe,
+    )
+    width, val = 4, 13
+    ct = bddm.fheuint_encrypt(m, val, width, skp2, base2k, 51, xe, xa)
+    prep = bddm.fheuint_prepare(m, ct, key)
+    out = bddm.fheuint_op_1w(m, "identity", prep, base2k, 51)
+    got = bddm.fheuint_decrypt(m, bddm.FheUint(glwe=out, width=width), skp1)
+    assert got == val, got
