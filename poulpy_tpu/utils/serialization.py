@@ -51,7 +51,11 @@ def read_array(view: memoryview):
 
 
 def serialize_layout(obj) -> bytes:
-    """Serialize a flax.struct layout (arrays + static metadata)."""
+    """Serialize a flax.struct layout (arrays + static metadata).
+
+    Nested layout dataclasses (e.g. CKKSCiphertext.glwe/meta) recurse:
+    their blob is embedded length-prefixed and tagged with the nested
+    class name in the metadata header."""
     import flax.struct  # noqa: F401
     import dataclasses
 
@@ -59,12 +63,18 @@ def serialize_layout(obj) -> bytes:
     fields = dataclasses.fields(obj)
     meta = {}
     arrays = []
+    nested = []
     for f in fields:
         v = getattr(obj, f.name)
         if isinstance(v, bytes):
             meta[f.name] = {"__bytes__": v.hex()}  # compressed-layer seeds
-        elif isinstance(v, (int, str)):
+        elif v is None:
+            meta[f.name] = {"__none__": True}
+        elif isinstance(v, (bool, int, float, str)):
             meta[f.name] = v
+        elif dataclasses.is_dataclass(v):
+            meta[f.name] = {"__nested__": type(v).__name__}
+            nested.append((f.name, v))
         else:
             arrays.append((f.name, v))
     import json
@@ -77,7 +87,35 @@ def serialize_layout(obj) -> bytes:
         buf += _struct.pack("<Q", len(nb))
         buf += nb
         write_array(buf, v)
+    for name, v in nested:
+        nb = name.encode()
+        buf += _struct.pack("<Q", len(nb))
+        buf += nb
+        blob = serialize_layout(v)
+        buf += _struct.pack("<QQ", _NESTED_TAG, len(blob))
+        buf += blob
     return bytes(buf)
+
+
+_NESTED_TAG = 0x4E45535445440000  # "NESTED\0\0" — disambiguates from MAGIC
+
+
+def _resolve_layout_class(name: str):
+    """Find a layout dataclass by name across the package's layout
+    modules (the wire format stores class names, not import paths)."""
+    import dataclasses
+    import importlib
+
+    for modname in (
+        "poulpy_tpu.core.layouts", "poulpy_tpu.core.compressed",
+        "poulpy_tpu.core.prepared", "poulpy_tpu.ckks.layouts",
+        "poulpy_tpu.ckks.plaintext", "poulpy_tpu.binfhe.lut",
+    ):
+        mod = importlib.import_module(modname)
+        cls = getattr(mod, name, None)
+        if cls is not None and dataclasses.is_dataclass(cls):
+            return cls
+    raise ValueError(f"unknown nested layout class {name!r}")
 
 
 def deserialize_layout(data: bytes, cls):
@@ -89,20 +127,35 @@ def deserialize_layout(data: bytes, cls):
     if hdr["type"] != cls.__name__:
         raise ValueError(f"type mismatch: {hdr['type']} != {cls.__name__}")
     off = 8 + mlen
-    kwargs = {
-        k: bytes.fromhex(v["__bytes__"])
-        if isinstance(v, dict) and "__bytes__" in v
-        else v
-        for k, v in hdr["meta"].items()
-    }
+    kwargs = {}
+    nested_cls = {}
+    for k, v in hdr["meta"].items():
+        if isinstance(v, dict) and "__bytes__" in v:
+            kwargs[k] = bytes.fromhex(v["__bytes__"])
+        elif isinstance(v, dict) and "__none__" in v:
+            kwargs[k] = None
+        elif isinstance(v, dict) and "__nested__" in v:
+            nested_cls[k] = _resolve_layout_class(v["__nested__"])
+        else:
+            kwargs[k] = v
     while off < len(data):
         nlen = _struct.unpack_from("<Q", view, off)[0]
         off += 8
         name = bytes(view[off : off + nlen]).decode()
         off += nlen
-        arr, consumed = read_array(view[off:])
-        off += consumed
-        kwargs[name] = arr
+        if name in nested_cls:
+            tag, blen = _struct.unpack_from("<QQ", view, off)
+            if tag != _NESTED_TAG:
+                raise ValueError("corrupt nested section")
+            off += 16
+            kwargs[name] = deserialize_layout(
+                bytes(view[off : off + blen]), nested_cls[name]
+            )
+            off += blen
+        else:
+            arr, consumed = read_array(view[off:])
+            off += consumed
+            kwargs[name] = arr
     return cls(**kwargs)
 
 

@@ -122,3 +122,29 @@ def test_ggsw_and_key_roundtrips():
     want = blind_rotation_key_decompress(m, brk_c)
     have = blind_rotation_key_decompress(m, back_brk)
     assert jnp.array_equal(have.pmats, want.pmats)
+
+
+def test_nested_layout_roundtrip():
+    """Nested layout dataclasses (CKKS ciphertext = GLWE + meta) survive
+    the wire — the reference's WriterTo covers scheme-level objects too
+    (poulpy-ckks ciphertext serialization)."""
+    from poulpy_tpu.ckks.layouts import CKKSCiphertext, CKKSMeta
+    from poulpy_tpu.ckks.plaintext import CKKSPlaintextCstZnx
+    from poulpy_tpu.core.layouts import GLWECiphertext
+
+    g = GLWECiphertext(
+        data=jnp.arange(48, dtype=jnp.int64).reshape(2, 3, 8),
+        base2k=17, k=51,
+    )
+    c = CKKSCiphertext(glwe=g, meta=CKKSMeta(log_delta=22, log_budget=30))
+    back = deserialize_layout(serialize_layout(c), CKKSCiphertext)
+    assert back.meta == c.meta
+    assert back.glwe.base2k == 17 and back.glwe.k == 51
+    assert jnp.array_equal(back.glwe.data, g.data)
+
+    # None-able + int statics (quantized constant plaintext)
+    z = CKKSPlaintextCstZnx(
+        re=314159, im=None, meta=CKKSMeta(log_delta=20, log_budget=0)
+    )
+    b2 = deserialize_layout(serialize_layout(z), CKKSPlaintextCstZnx)
+    assert b2.re == 314159 and b2.im is None and b2.meta == z.meta
