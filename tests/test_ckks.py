@@ -381,3 +381,19 @@ def test_rotate_many_r_and_ordering(ctx):
     # conjugation = X→X^{-1}
     pm1 = vec_znx_automorphism(2 * m.n - 1, jnp.asarray(coeffs))
     assert np.abs(encd.decode(np.asarray(pm1), 30) - np.conj(z)).max() < 1e-6
+
+
+def test_mul_sub_and_dot_product(ctx):
+    """Remaining composite ops vs f64 slot reference (leveled test_suite
+    mul_sub / dot_product rows)."""
+    m, sk, skp, tsk, encd = ctx
+    z1, z2, z3 = rand_slots(), rand_slots(), rand_slots()
+    c1, c2, c3 = enc_ct(ctx, z1), enc_ct(ctx, z2), enc_ct(ctx, z3)
+    got = dec_slots(ctx, ck.mul_sub(m, c1, c2, ck.rescale(c3, 0), tsk))
+    assert np.abs(got - (z1 * z2 - z3)).max() < 1e-3
+
+    xs = [enc_ct(ctx, z) for z in (z1, z2)]
+    ys = [enc_ct(ctx, z) for z in (z3, z1)]
+    got = dec_slots(ctx, ck.dot_product(m, xs, ys, tsk))
+    want = z1 * z3 + z2 * z1
+    assert np.abs(got - want).max() < 1e-3
