@@ -318,26 +318,35 @@ _LATENCY_METRICS = {"keyswitch_p50_latency_n2048",
                     "keyswitch_device_latency_n2048"}
 
 
-def _validate_flags():
-    """Validate --save-baseline/--baseline argv up front: a missing flag
-    value or a nonexistent baseline file must error out in milliseconds,
-    not after the full (cold ~23-min) benchmark run (ADVICE r3)."""
-    import sys
+def _baseline_dir():
     from pathlib import Path
 
+    return Path(__file__).parent / ".bench_baselines"
+
+
+def _flag_value(flag: str) -> str | None:
+    """THE parser for --save-baseline/--baseline NAME — shared by the
+    up-front validator and the post-run comparator so the two can't
+    drift (ADVICE r3 / code-review r4)."""
+    import sys
+
     args = sys.argv[1:]
-    bdir = Path(__file__).parent / ".bench_baselines"
-    for flag in ("--save-baseline", "--baseline"):
-        if flag in args:
-            i = args.index(flag)
-            if i + 1 >= len(args) or args[i + 1].startswith("--"):
-                raise SystemExit(f"{flag} requires a NAME argument")
-            if flag == "--baseline":
-                p = bdir / f"{args[i + 1]}.json"
-                if not p.exists():
-                    raise SystemExit(
-                        f"--baseline {args[i + 1]}: {p} does not exist"
-                    )
+    if flag not in args:
+        return None
+    i = args.index(flag)
+    if i + 1 >= len(args) or args[i + 1].startswith("--"):
+        raise SystemExit(f"{flag} requires a NAME argument")
+    return args[i + 1]
+
+
+def _validate_flags():
+    """Fail fast on bad argv BEFORE the full (cold ~23-min) run."""
+    name = _flag_value("--baseline")
+    _flag_value("--save-baseline")
+    if name is not None:
+        p = _baseline_dir() / f"{name}.json"
+        if not p.exists():
+            raise SystemExit(f"--baseline {name}: {p} does not exist")
 
 
 def _baseline_compare(rows, tol=0.05):
@@ -345,21 +354,13 @@ def _baseline_compare(rows, tol=0.05):
     --save-baseline/--baseline): `--save-baseline NAME` stores this run
     under .bench_baselines/NAME.json; `--baseline NAME` diffs against a
     stored run and exits 1 on any metric >5% worse."""
-    import sys
-    from pathlib import Path
-
-    args = sys.argv[1:]
-    bdir = Path(__file__).parent / ".bench_baselines"
-
-    def _arg(flag):
-        return args[args.index(flag) + 1] if flag in args else None
-
-    name = _arg("--save-baseline")
+    bdir = _baseline_dir()
+    name = _flag_value("--save-baseline")
     if name:
         bdir.mkdir(exist_ok=True)
         (bdir / f"{name}.json").write_text(json.dumps(rows, indent=1))
         print(json.dumps({"baseline_saved": name}))
-    name = _arg("--baseline")
+    name = _flag_value("--baseline")
     if name:
         base = {r["metric"]: r for r in
                 json.loads((bdir / f"{name}.json").read_text())}

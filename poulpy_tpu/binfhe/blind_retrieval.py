@@ -79,11 +79,10 @@ class GLWEBlindRetriever:
         # slot = (data | None, num in {0, 1}); data may outlive num=0 at the
         # top level, where flush reads it unconditionally (ref :117)
         self._slots: list[list] = [[None, 0] for _ in range(nbits)]
+        # enforce the REQUESTED size, not the power-of-two slot count —
+        # alloc(infos, size) callers rely on add #size+1 panicking
+        self.capacity = capacity
         self.counter = 0
-
-    @property
-    def capacity(self) -> int:
-        return 1 << len(self._slots)
 
     def reset(self) -> None:
         for s in self._slots:
@@ -155,6 +154,20 @@ def _batched_cswap_stage(module, res, pairs, bit):
         res[jt] = lo.replace(data=hi2.data[p])
 
 
+def _butterfly(module, cts, selector, bit_rsh, bit_mask, reverse):
+    if bit_mask is None:
+        bit_mask = len(getattr(selector, "bits", selector)) - bit_rsh
+    res = list(cts)
+    stages = range(bit_mask)
+    for i in (reversed(stages) if reverse else stages):
+        t = 1 << (bit_mask - i - 1)
+        bit = _get_bit(selector, bit_rsh + bit_mask - i - 1)
+        pairs = [(j, j + t) for j in range(t) if j + t < len(res)]
+        if pairs:
+            _batched_cswap_stage(module, res, pairs, bit)
+    return res
+
+
 def glwe_blind_retrieval(
     module: Module,
     cts: list[GLWECiphertext],
@@ -166,16 +179,8 @@ def glwe_blind_retrieval(
     element 0 encrypts ``cts[(idx >> bit_rsh) % 2^bit_mask]`` for the
     encrypted selector idx (glwe_blind_retrieval_statefull,
     blind_retrieval.rs:224-247; MSB→LSB Cswap stages)."""
-    if bit_mask is None:
-        bit_mask = len(getattr(selector, "bits", selector)) - bit_rsh
-    res = list(cts)
-    for i in range(bit_mask):
-        t = 1 << (bit_mask - i - 1)
-        bit = _get_bit(selector, bit_rsh + bit_mask - i - 1)
-        pairs = [(j, j + t) for j in range(t) if j + t < len(res)]
-        if pairs:
-            _batched_cswap_stage(module, res, pairs, bit)
-    return res
+    return _butterfly(module, cts, selector, bit_rsh, bit_mask,
+                      reverse=False)
 
 
 def glwe_blind_retrieval_rev(
@@ -188,13 +193,5 @@ def glwe_blind_retrieval_rev(
     """Applies the butterfly stages in reverse order, undoing
     :func:`glwe_blind_retrieval`'s permutation up to noise
     (glwe_blind_retrieval_statefull_rev, blind_retrieval.rs:252-275)."""
-    if bit_mask is None:
-        bit_mask = len(getattr(selector, "bits", selector)) - bit_rsh
-    res = list(cts)
-    for i in reversed(range(bit_mask)):
-        t = 1 << (bit_mask - i - 1)
-        bit = _get_bit(selector, bit_rsh + bit_mask - i - 1)
-        pairs = [(j, j + t) for j in range(t) if j + t < len(res)]
-        if pairs:
-            _batched_cswap_stage(module, res, pairs, bit)
-    return res
+    return _butterfly(module, cts, selector, bit_rsh, bit_mask,
+                      reverse=True)

@@ -43,29 +43,19 @@ class Encoder:
         self.s_conj = ((two_n - t) - 1) // 2  # conjugate root positions
         self.twist = np.exp(1j * np.pi * np.arange(n) / n)
 
-    def encode(self, z: np.ndarray, log_delta: int) -> np.ndarray:
-        """Complex slots [..., m] → integer coefficients [..., N] scaled by
-        2^log_delta."""
+    def encode_rnx(self, z: np.ndarray) -> np.ndarray:
+        """Complex slots [..., m] → FLOAT coefficients [..., N], the
+        pre-quantization VecRnx form (plaintext/vec.rs:21 — the slot
+        encoder produces/consumes this form; quantization happens later in
+        vec_rnx_to_znx).  This is the ONE copy of the orbit/twist
+        transform; the integer forms compose it with scaling so the
+        slot-ordering contract cannot drift between them."""
         z = np.asarray(z, dtype=np.complex128)
         assert z.shape[-1] == self.m
         spec = np.zeros(z.shape[:-1] + (self.n,), dtype=np.complex128)
         spec[..., self.s] = z
         spec[..., self.s_conj] = np.conj(z)
         # p_twisted = fft(spec)/N inverts ev_s = N·ifft(twisted)[s]
-        p = np.fft.fft(spec, axis=-1) / self.n
-        coeffs = np.real(p / self.twist)
-        return np.rint(coeffs * float(2**log_delta)).astype(np.int64)
-
-    def encode_rnx(self, z: np.ndarray) -> np.ndarray:
-        """Complex slots [..., m] → FLOAT coefficients [..., N], the
-        pre-quantization VecRnx form (plaintext/vec.rs:21 — the slot
-        encoder produces/consumes this form; quantization happens later in
-        vec_rnx_to_znx)."""
-        z = np.asarray(z, dtype=np.complex128)
-        assert z.shape[-1] == self.m
-        spec = np.zeros(z.shape[:-1] + (self.n,), dtype=np.complex128)
-        spec[..., self.s] = z
-        spec[..., self.s_conj] = np.conj(z)
         p = np.fft.fft(spec, axis=-1) / self.n
         return np.real(p / self.twist)
 
@@ -75,8 +65,13 @@ class Encoder:
         ev = self.n * np.fft.ifft(p, axis=-1)
         return ev[..., self.s]
 
+    def encode(self, z: np.ndarray, log_delta: int) -> np.ndarray:
+        """Complex slots [..., m] → integer coefficients [..., N] scaled by
+        2^log_delta."""
+        return np.rint(
+            self.encode_rnx(z) * float(2**log_delta)
+        ).astype(np.int64)
+
     def decode(self, coeffs: np.ndarray, log_delta: int) -> np.ndarray:
         """Integer coefficients [..., N] → complex slots [..., m]."""
-        p = np.asarray(coeffs, dtype=np.float64) * self.twist
-        ev = self.n * np.fft.ifft(p, axis=-1)
-        return ev[..., self.s] / float(2**log_delta)
+        return self.decode_rnx(coeffs) / float(2**log_delta)

@@ -45,11 +45,10 @@ def initialize_multihost(
     """
     # idempotence check WITHOUT touching the backend: jax.process_count()
     # would initialize XLA and make a subsequent distributed.initialize
-    # fail ("must be called before any JAX calls") — probe the distributed
-    # client state instead (regression: tests/test_multihost.py)
-    from jax._src import distributed as _dist
-
-    if getattr(_dist.global_state, "client", None) is not None:
+    # fail ("must be called before any JAX calls") — the public
+    # is_initialized() probes the distributed client without doing so
+    # (regression: tests/test_multihost.py)
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     if coordinator_address is not None:

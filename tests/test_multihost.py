@@ -65,7 +65,11 @@ _WORKER = textwrap.dedent("""
 
 
 def _free_port() -> int:
+    # SO_REUSEADDR narrows (cannot fully close) the probe→bind TOCTOU
+    # window: the coordinator can bind the port even while the probe
+    # socket lingers in TIME_WAIT
     with socket.socket() as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
