@@ -17,5 +17,6 @@ from poulpy_tpu.binfhe.blind_retrieval import (  # noqa: F401
     GLWEBlindRetriever,
     glwe_blind_retrieval,
     glwe_blind_retrieval_rev,
+    glwe_blind_selection,
     glwe_cswap,
 )

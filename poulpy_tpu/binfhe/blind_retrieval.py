@@ -33,6 +33,7 @@ __all__ = [
     "glwe_cswap",
     "glwe_blind_retrieval",
     "glwe_blind_retrieval_rev",
+    "glwe_blind_selection",
 ]
 
 
@@ -152,6 +153,41 @@ def _batched_cswap_stage(module, res, pairs, bit):
     for p, (j, jt) in enumerate(pairs):
         res[j] = lo.replace(data=lo2.data[p])
         res[jt] = lo.replace(data=hi2.data[p])
+
+
+def glwe_blind_selection(
+    module: Module,
+    a: dict,
+    selector,
+    bit_rsh: int = 0,
+    bit_mask: int | None = None,
+) -> GLWECiphertext:
+    """Oblivious selection from an encrypted-indexed MAP: returns the GLWE
+    at key ``(idx >> bit_rsh) % 2^bit_mask`` for the encrypted selector
+    idx; indices absent from the map act as encryptions of zero
+    (GLWEBlindSelection, bdd_arithmetic/blind_selection.rs:13-120; MSB→LSB
+    binary-tree CMux reduction)."""
+    if not a:
+        raise ValueError("blind_selection: empty map")
+    if bit_mask is None:
+        bit_mask = len(getattr(selector, "bits", selector)) - bit_rsh
+    entries = dict(a)
+    proto = next(iter(entries.values()))
+    zero = proto.replace(data=jnp.zeros_like(proto.data))
+    for i in range(bit_mask):
+        t = 1 << (bit_mask - i - 1)
+        bit = _get_bit(selector, bit_rsh + bit_mask - i - 1)
+        for j in range(t):
+            low = entries.pop(j, None)
+            high = entries.pop(j + t, None)
+            if low is None and high is None:
+                continue
+            entries[j] = glwe_cmux(
+                module, bit,
+                zero if high is None else high,   # selected when bit = 1
+                zero if low is None else low,
+            )
+    return entries.get(0, zero)
 
 
 def _butterfly(module, cts, selector, bit_rsh, bit_mask, reverse):

@@ -176,3 +176,32 @@ def test_butterfly_retrieval_and_rev(ctx):
     res = glwe_blind_retrieval(m, cts[:4], sel, bit_rsh=1, bit_mask=2)
     got = _decode(m, skp, res[0])
     assert np.abs(got - datas[3]).max() <= 64
+
+
+def test_blind_selection_sparse_map(ctx):
+    """Map-keyed oblivious selection (blind_selection.rs:13-120): selects
+    a[idx] from a dict; absent indices act as encryptions of zero; sub-
+    field selection honors bit_rsh/bit_mask."""
+    from poulpy_tpu.binfhe.blind_retrieval import glwe_blind_selection
+
+    m, skp = ctx
+    datas = {i: RNG.integers(-(2**12), 2**12, size=m.n, dtype=np.int64)
+             for i in [0, 2, 3, 5]}      # sparse: 1, 4, 6, 7 missing
+    cts_list = _encrypt_all(m, skp, list(datas.values()), seed=0xF0)
+    cts = dict(zip(datas.keys(), cts_list))
+
+    for idx in [0, 3, 5]:
+        sel = _sel_bits(m, skp, idx, 3, seed=0x10 + 2 * idx)
+        out = glwe_blind_selection(m, cts, sel, bit_mask=3)
+        got = _decode(m, skp, out)
+        assert np.abs(got - datas[idx]).max() <= 64, idx
+
+    # absent index decrypts to ~zero
+    sel = _sel_bits(m, skp, 4, 3, seed=0x1c)
+    out = glwe_blind_selection(m, cts, sel, bit_mask=3)
+    assert np.abs(_decode(m, skp, out)).max() <= 64
+
+    # sub-field: selector 0b101, rsh=1 mask=2 -> index 2
+    sel = _sel_bits(m, skp, 0b101, 3, seed=0x1e)
+    out = glwe_blind_selection(m, cts, sel, bit_rsh=1, bit_mask=2)
+    assert np.abs(_decode(m, skp, out) - datas[2]).max() <= 64
