@@ -117,9 +117,18 @@ class GLWEBlindRetriever:
     def flush(self, module: Module, selector, offset: int = 0
               ) -> GLWECiphertext:
         """Merge partial blocks upward and return the retrieved GLWE
-        (blind_retrieval.rs flush :98-121)."""
+        (blind_retrieval.rs flush :98-121).
+
+        DEVIATION from the reference: flushing an EMPTY accumulator raises
+        (the reference returns an encryption of zero, :103-107, which it
+        can mint from its ``alloc(infos, size)`` prototype; this retriever
+        carries no GLWE prototype, so there is nothing to shape a zero
+        ciphertext from).  Stream at least one input before flushing."""
         if self.counter == 0:
-            raise ValueError("flush with no accumulated inputs")
+            raise ValueError(
+                "flush with no accumulated inputs (reference returns a "
+                "zero GLWE here; see docstring for why this deviates)"
+            )
         slots = self._slots
         for i in range(len(slots) - 1):
             if slots[i][1] != 0:

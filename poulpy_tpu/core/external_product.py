@@ -79,6 +79,19 @@ def glwe_external_product(
                     dsize=dsize,
                 )
             return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
+    if wide and backends.use_fused():
+        from poulpy_tpu.backends.pallas_wide import (
+            fused_glwe_product_wide,
+            fused_wide_supported,
+        )
+
+        if fused_wide_supported(module, pmat.shape[3], res_base2k,
+                                ggsw.base2k):
+            res = fused_glwe_product_wide(
+                module, a.data, pmat, res_size, res_base2k, ggsw.base2k,
+                dsize=dsize,
+            )
+            return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
     if dsize == 1:
         a_dft = dft.dft_apply(module, a.data)
         res_dft = dft.vmp_apply(module, a_dft, pmat)

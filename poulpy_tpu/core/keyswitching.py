@@ -130,6 +130,31 @@ def glwe_keyswitch(
                     )
                 return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
 
+    if wide:
+        from poulpy_tpu import backends
+
+        if backends.use_fused():
+            from poulpy_tpu.backends.pallas_wide import (
+                fused_glwe_product_wide,
+                fused_wide_supported,
+            )
+
+            psize = key.pmat.shape[3]
+            if fused_wide_supported(module, psize, res_base2k, key.base2k):
+                import jax.numpy as jnp
+
+                co = key.pmat.shape[2]
+                upto = min(a.data.shape[-2], psize)
+                body = a.data[..., 0, :upto, :]
+                small = jnp.zeros(
+                    body.shape[:-2] + (co, upto, module.n), body.dtype
+                ).at[..., 0, :, :].set(body)
+                res = fused_glwe_product_wide(
+                    module, a.data[..., 1:, :, :], key.pmat, res_size,
+                    res_base2k, key.base2k, small=small, dsize=key.dsize,
+                )
+                return GLWECiphertext(data=res, base2k=res_base2k, k=res_k)
+
     a_dft = dft.dft_apply(module, a.data[..., 1:, :, :])
     res_dft = gglwe_product_dft(module, a_dft, key)
     if wide:

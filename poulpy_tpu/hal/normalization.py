@@ -22,7 +22,8 @@ vectorized ops with no data-dependent control flow — the shape XLA wants —
 and is exact: wrapping-i64 arithmetic makes out-of-range windows cancel.
 Truncation convention: bits below the output precision are floored (the
 reference rounds-to-nearest via balanced-digit dropping; both are ≤ 1 ulp of
-the deepest output limb, see tests/test_normalize.py property tests).
+the deepest output limb, see the property tests in
+tests/test_hal.py::test_normalize_*).
 
 The scan is sequential in `size` (≤ ~32 static steps, unrolled for XLA
 fusion) and fully vectorized over N·cols·batch.

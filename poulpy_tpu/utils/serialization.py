@@ -73,7 +73,11 @@ def serialize_layout(obj) -> bytes:
         elif isinstance(v, (bool, int, float, str)):
             meta[f.name] = v
         elif dataclasses.is_dataclass(v):
-            meta[f.name] = {"__nested__": type(v).__name__}
+            # qualified path: two layout classes sharing a bare name in
+            # different modules must not alias on deserialize (ADVICE r4)
+            meta[f.name] = {
+                "__nested__": f"{type(v).__module__}.{type(v).__name__}"
+            }
             nested.append((f.name, v))
         else:
             arrays.append((f.name, v))
@@ -101,11 +105,18 @@ _NESTED_TAG = 0x4E45535445440000  # "NESTED\0\0" — disambiguates from MAGIC
 
 
 def _resolve_layout_class(name: str):
-    """Find a layout dataclass by name across the package's layout
-    modules (the wire format stores class names, not import paths)."""
+    """Resolve a nested layout class: qualified ``module.Class`` names
+    import directly; bare names (v1 blobs) fall back to a search across
+    the package's layout modules."""
     import dataclasses
     import importlib
 
+    if "." in name:
+        modname, clsname = name.rsplit(".", 1)
+        cls = getattr(importlib.import_module(modname), clsname, None)
+        if cls is None or not dataclasses.is_dataclass(cls):
+            raise ValueError(f"unknown nested layout class {name!r}")
+        return cls
     for modname in (
         "poulpy_tpu.core.layouts", "poulpy_tpu.core.compressed",
         "poulpy_tpu.core.prepared", "poulpy_tpu.ckks.layouts",
