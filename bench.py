@@ -104,6 +104,63 @@ def verify_on_device():
     have = np.asarray(jax.block_until_ready(fused_path(ct.data, ggswp.pmat)))
     exact = np.array_equal(have, want)
 
+    # MXU A/B (VERDICT r4 item 4): the int8-matmul mega-kernel must match
+    # the VPU kernel ON HARDWARE — the r4 Mosaic lane-offset-slice
+    # miscompile was invisible to interpret mode (docs/backend_contract.md
+    # hazard class).  Run it every bench so a toolchain regression is
+    # caught by the harness, not by someone re-running a probe from memory.
+    from poulpy_tpu.backends.pallas_fused_mxu import (
+        fused_mxu_glwe_product,
+        fused_mxu_supported,
+    )
+
+    mxu_exact = None
+    if fused_mxu_supported(m, ggswp.pmat.shape[3], BASE2K):
+        @jax.jit
+        def mxu_path(a, pm):
+            return fused_mxu_glwe_product(m, a, pm, res_size, BASE2K,
+                                          BASE2K)
+
+        have_mxu = np.asarray(
+            jax.block_until_ready(mxu_path(ct.data, ggswp.pmat))
+        )
+        mxu_exact = bool(np.array_equal(have_mxu, want))
+
+    # wide (i128-twin) fused exit A/B on device (new in r5): 4-word Garner
+    # and pair-window normalize vs the jnp wide path
+    from poulpy_tpu.backends.pallas_wide import (
+        fused_glwe_product_wide,
+        fused_wide_supported,
+    )
+    from poulpy_tpu.hal import dft as _dft
+
+    wide_exact = None
+    mw = get_module(N, 5, 28)
+    kr_w = 52
+    if fused_wide_supported(mw, 3, kr_w, kr_w):
+        rng_w = np.random.default_rng(11)
+        a_w = jnp.asarray(rng_w.integers(
+            -(2**51), 2**51, size=(16, 1, 2, N), dtype=np.int64
+        ))
+        pm_w = jnp.asarray(np.stack([
+            rng_w.integers(0, p, size=(2, 1, 2, 3, N), dtype=np.int64)
+            for p in mw.basis.primes
+        ], axis=-2))    # [rows=2, ci=1, co=2, psize=3, P, N]
+
+        @jax.jit
+        def wide_jnp(a, pm):
+            ad = _dft.dft_apply(mw, a)
+            pair = _dft.idft_apply_wide(mw, _dft.vmp_apply(mw, ad, pm))
+            return _dft.big_normalize_wide(mw, 2, kr_w, pair, kr_w)
+
+        @jax.jit
+        def wide_fused(a, pm):
+            return fused_glwe_product_wide(mw, a, pm, 2, kr_w, kr_w)
+
+        w_want = np.asarray(jax.block_until_ready(wide_jnp(a_w, pm_w)))
+        w_have = np.asarray(jax.block_until_ready(wide_fused(a_w, pm_w)))
+        wide_exact = bool(np.array_equal(w_have, w_want))
+
     # crypto end-to-end: decrypt the fused result, expect rotation by X^1
     out = GLWECiphertext(data=jnp.asarray(have), base2k=BASE2K, k=K_CT)
     ptd = dec.glwe_decrypt(m, out, skp)
@@ -114,11 +171,14 @@ def verify_on_device():
     print(json.dumps({
         "metric": "on_device_verify",
         "fused_vs_jnp_bit_exact": bool(exact),
+        "mxu_vs_vpu_bit_exact": mxu_exact,
+        "wide_fused_vs_jnp_bit_exact": wide_exact,
         "decrypt_exact": bool(dec_ok),
         "backend": jax.default_backend(),
         "batch": batch,
     }))
-    if not (exact and dec_ok):
+    if not (exact and dec_ok and mxu_exact is not False
+            and wide_exact is not False):
         raise SystemExit("on-device verify FAILED")
 
 

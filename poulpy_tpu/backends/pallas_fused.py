@@ -67,6 +67,12 @@ def _i32c(v: int) -> int:
     return ((v & MASK32) ^ (1 << 31)) - (1 << 31)
 
 
+def _ninv_triple(n: int, p: int) -> tuple[int, int, int]:
+    """N^{-1} mod p as (Montgomery form, plain, Shoup quotient)."""
+    nv = pow(n, -1, p)
+    return (nv * R % p, nv, (nv << 30) // p)
+
+
 # ---------------------------------------------------------------------------
 # i64-as-(hi, lo) i32-pair primitives (lo interpreted unsigned)
 # ---------------------------------------------------------------------------
@@ -320,7 +326,23 @@ def _ntt_rows_paired(x, wref, n, logn, p, qinv, stage_index, lazy=False,
     return jnp.concatenate([a, b], axis=0)
 
 
-def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
+def _ninv_scale(x, ninv, p, qinv, lazy, shoup):
+    """Final N^{-1} scale of an inverse transform.  `ninv` is the
+    (montgomery, plain, shoup-quotient) triple; the Shoup form saves 5
+    vector multiplies per row (shoup_mul_i32_lazy vs mont_mul_i32_lazy)
+    and is bit-identical (both canonicalize to x·N^{-1} mod p)."""
+    nm, nw, nq = ninv
+    if lazy:
+        if shoup:
+            # x < 2p < 2^29 ⇒ r < p·(1 + 2p/2^30) < 3p/2 ⇒ one csub
+            return _csub(
+                shoup_mul_i32_lazy(x, jnp.int32(nw), jnp.int32(nq), p), p
+            )
+        return _csub(mont_mul_i32_lazy(x, jnp.int32(nm), p, qinv), p)
+    return mont_mul_i32(x, jnp.int32(nm), p, qinv)
+
+
+def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv, stage_index,
                       lazy=False, shoup=False):
     """Inverse Gentleman–Sande stages + N^{-1} scale, one twiddle multiply
     per ROW PAIR per stage.  Bit-exact vs _intt_rows."""
@@ -354,11 +376,7 @@ def _intt_rows_paired(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
             a = jnp.where(mask, ua, vc)
             b = jnp.where(mask, ub, pltpu.roll(vc, jnp.int32(half), axis=1))
     x = jnp.concatenate([a, b], axis=0)
-    if lazy:
-        return _csub(
-            mont_mul_i32_lazy(x, jnp.int32(ninv_mont), p, qinv), p
-        )
-    return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
+    return _ninv_scale(x, ninv, p, qinv, lazy, shoup)
 
 
 def _ntt_rows_sl(x, wref, n, logn, p, qinv, stage_index, lazy=False):
@@ -461,7 +479,7 @@ def _ntt_rows_sl(x, wref, n, logn, p, qinv, stage_index, lazy=False):
     return x
 
 
-def _intt_rows_sl(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
+def _intt_rows_sl(x, wref, n, logn, p, qinv, ninv, stage_index,
                   lazy=False):
     """Inverse Gentleman–Sande stages + N^{-1} scale on the sublane/lane
     split layout [rows, S, 128] (see _ntt_rows_sl): lane stages first
@@ -555,11 +573,7 @@ def _intt_rows_sl(x, wref, n, logn, p, qinv, ninv_mont, stage_index,
                 )
         x = jnp.concatenate(parts, axis=1)
 
-    if lazy:
-        return _csub(
-            mont_mul_i32_lazy(x, jnp.int32(ninv_mont), p, qinv), p
-        )
-    return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
+    return _ninv_scale(x, ninv, p, qinv, lazy, False)
 
 
 def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False,
@@ -586,7 +600,7 @@ def _ntt_rows(x, wref, lane, n, logn, p, qinv, stage_index, lazy=False,
     return x
 
 
-def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index,
+def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv, stage_index,
                lazy=False, shoup=False):
     """Inverse Gentleman–Sande stages + N^{-1} scale, one prime.
 
@@ -610,11 +624,7 @@ def _intt_rows(x, wref, lane, n, logn, p, qinv, ninv_mont, stage_index,
             d_hi = _sub_mod(partner, x, p)
             v = _tw_mul(d_hi, wref, si, stage_index, p, qinv, False, shoup)
             x = jnp.where(mask, u, v)
-    if lazy:
-        return _csub(
-            mont_mul_i32_lazy(x, jnp.int32(ninv_mont), p, qinv), p
-        )
-    return mont_mul_i32(x, jnp.int32(ninv_mont), p, qinv)
+    return _ninv_scale(x, ninv, p, qinv, lazy, shoup)
 
 
 def _lazy_reduce(x, bound: int, p: int, target: int):
@@ -640,7 +650,7 @@ def _lazy_reduce(x, bound: int, p: int, target: int):
 def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                  t_tile, cols, size_a, rmax, co, psize,
                  res_size, kr, ka, offset, block, rotate, add_acc, s_size,
-                 s64_size, shoup,
+                 s64_size, shoup, rot_shoup,
                  *refs):
     it = iter(refs)
     a_ref = next(it)
@@ -691,6 +701,19 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
         add = None
         add_b = 0                           # static value bound (lazy mode)
         for bi in range(block):
+            if rotate and rot_shoup:
+                # (X^{a_i} − 1) applied to the VMP INPUT (the external
+                # product is linear in acc, so xp·(acc ⊡ K) = (xp·acc) ⊡ K)
+                # — kk rows of 6-mul Shoup products instead of mdim rows of
+                # 11-mul Montgomery products on the output (kk < mdim at
+                # every BR config: rmax ≤ size < psize).  xp_ref stacks
+                # (plain, Harvey quotient) per table entry.
+                xw = xp_ref[pi, bi, 0][:, None]          # [T, 1, N]
+                xq = xp_ref[pi, bi, 1][:, None]
+                # r4 < 2p < 2^29 ⇒ Shoup result < p·(1 + 2p/2^30) < 2p
+                rsrc = shoup_mul_i32_lazy(r4, xw, xq, p)
+            else:
+                rsrc = r4
             acc = None
             acc_b = 0
             if lazy:
@@ -703,7 +726,7 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                     ks = range(k0, min(k0 + 16, kk))
                     hi = lo = None
                     for k in ks:
-                        ak = r4[:, k][:, None]                   # < 2p
+                        ak = rsrc[:, k][:, None]                 # < 2p
                         bk = pm_ref[pi, bi, k][None]             # < p
                         ph, plo = _mul_pair_30x28(ak, bk)
                         if hi is None:
@@ -722,11 +745,11 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                         acc_b += t_b
             else:
                 for k in range(kk):
-                    ak = r4[:, k][:, None]
+                    ak = rsrc[:, k][:, None]
                     bk = pm_ref[pi, bi, k][None]
                     term = mont_mul_i32(ak, bk, p, qinv)         # [T, M, N]
                     acc = term if acc is None else _add_mod(acc, term, p)
-            if rotate:
+            if rotate and not rot_shoup:
                 # xp holds Montgomery NTT(X^{a_i} − 1) (the −1 is folded
                 # into the table, _xpow_minus1_table), so the rotate-and-
                 # subtract collapses to ONE multiply
@@ -819,13 +842,15 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
 def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
              rmax: int, co: int, psize: int, res_size: int, kr: int, ka: int,
              offset: int, block: int, rotate: bool, s_size: int,
-             add_acc: bool, s64_size: int = 0, shoup: bool = False):
+             add_acc: bool, s64_size: int = 0, shoup: bool = False,
+             rot_shoup: bool = False):
     logn = n.bit_length() - 1
     P = len(primes)
     kk = cols * rmax
     mdim = co * psize
+    assert not rot_shoup or lazy_ok(primes)   # Shoup rotate needs [0,2p) math
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
-    ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
+    ninvs = tuple(_ninv_triple(n, p) for p in primes)
     # sublane/lane-split layout (see _ntt_rows_sl): reshape every [..., N]
     # operand to [..., S, 128] — free at the XLA level (contiguous view) —
     # so sublane butterflies become slice arithmetic and lane rolls stay
@@ -844,7 +869,7 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
         _kernel_pipe, n, logn, primes, qinvs, ninvs, basis,
         t_tile, cols, size_a, rmax, co, psize,
         res_size, kr, ka, offset, block, rotate, add_acc, s_size, s64_size,
-        shoup,
+        shoup, rot_shoup,
     )
     rows_a = cols * size_a
     tail = (n // 128, 128) if sl else (n,)
@@ -876,12 +901,15 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
             pm.reshape(pm.shape[:4] + tail),
         ]
         if rotate:
+            # rot_shoup: xp stacks (plain, Harvey quotient) → extra axis 2
+            xlead = (P, block, 2, t_tile) if rot_shoup else (P, block, t_tile)
+            nfix = len(xlead) - 1
             in_specs.append(
-                pl.BlockSpec((P, block, t_tile) + tail,
-                             lambda bi: (0, 0, bi) + zi,
+                pl.BlockSpec(xlead + tail,
+                             lambda bi, _n=nfix: (0,) * _n + (bi,) + zi,
                              memory_space=pltpu.VMEM)
             )
-            args.append(xp.reshape(xp.shape[:3] + tail))
+            args.append(xp.reshape(xp.shape[: nfix + 1] + tail))
         if s_size:
             in_specs.append(
                 pl.BlockSpec((t_tile * s_size,) + tail,
@@ -1161,17 +1189,25 @@ def fused_br_block_step(
     module: Module,
     acc,                     # [..., cols, size, N] i64 normalized
     pm_k,                    # [P, block, KK, M, N] i32 kernel-layout pmats
-    xp,                      # [..., block, P, N] Mont NTT(X^{a_i} − 1) i32
+    xp,                      # [..., block, P, N] Mont NTT(X^{a_i} − 1) i32,
+                             # or [..., block, 2, P, N] (plain, quot) stacked
+                             # when rot_shoup
     res_size: int,
     base2k: int,
     t_tile: int | None = None,
+    rot_shoup: bool = False,
 ):
     """One fused block-binary CGGI step (algorithm.rs:275-368):
 
         acc ← normalize(acc + iNTT(Σ_i (X^{a_i} − 1)·(NTT(acc) ⊡ BRK_i)))
 
     with the (X^{a_i} − 1) factor supplied pre-transformed via
-    _xpow_minus1_table (one in-kernel multiply per block element)
+    _xpow_minus1_table (one in-kernel multiply per block element).
+
+    `rot_shoup` (lazy primes): the factor is applied to the VMP *input*
+    (the product is linear in acc) as a Harvey/Shoup multiply from the
+    stacked (plain, quotient) table — kk rows of 6-mul Shoup products
+    replace mdim rows of 11-mul Montgomery products.
 
     bit-exact vs the jnp block path in blind_rotation_execute_block.
     """
@@ -1189,18 +1225,27 @@ def fused_br_block_step(
     t_tile = _pick_tile(n, P, cols, size_a, rmax, cols, psize, block,
                         b_tot, t_tile)
     a32 = acc.reshape(b_tot, cols * size_a, n).astype(jnp.int32)
-    xp32 = xp.reshape(b_tot, block, P, n).astype(jnp.int32)
-    xp32 = jnp.transpose(xp32, (2, 1, 0, 3))      # [P, block, B, N]
     pad = (-b_tot) % t_tile
+    if rot_shoup:
+        xp32 = xp.reshape(b_tot, block, 2, P, n).astype(jnp.int32)
+        xp32 = jnp.transpose(xp32, (3, 1, 2, 0, 4))  # [P, block, 2, B, N]
+        if pad:
+            xp32 = jnp.pad(
+                xp32, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
+            )
+    else:
+        xp32 = xp.reshape(b_tot, block, P, n).astype(jnp.int32)
+        xp32 = jnp.transpose(xp32, (2, 1, 0, 3))      # [P, block, B, N]
+        if pad:
+            xp32 = jnp.pad(xp32, ((0, 0), (0, 0), (0, pad), (0, 0)))
     if pad:
         a32 = jnp.pad(a32, ((0, pad), (0, 0), (0, 0)))
-        xp32 = jnp.pad(xp32, ((0, 0), (0, 0), (0, pad), (0, 0)))
     bp = b_tot + pad
 
     out = _pipe_fn(
         n, module.basis.primes, t_tile, cols, size_a, rmax, cols, psize,
         res_size, base2k, base2k, 0, block, True, 0, True,
-        0, _use_shoup(),
+        0, _use_shoup(), rot_shoup,
     )(a32.reshape(bp * cols * size_a, n), pm_k, xp=xp32)
 
     out = out.reshape(bp, cols, res_size, n)[:b_tot]
@@ -1306,7 +1351,7 @@ def _tensor_fn(n: int, primes: tuple, t_tile: int, size_a: int, size_b: int,
     logn = n.bit_length() - 1
     P = len(primes)
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
-    ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
+    ninvs = tuple(_ninv_triple(n, p) for p in primes)
     r2s = tuple(R * R % p for p in primes)
     if shoup:
         wf = _stage_twiddles_shoup(primes, n, False, P)

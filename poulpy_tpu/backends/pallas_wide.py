@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from poulpy_tpu.backends.pallas_fused import (
     I32_MIN,
+    _ninv_triple,
     _add64,
     _i32c,
     _intt_rows,
@@ -447,7 +448,7 @@ def _pipe_wide_fn(n: int, primes: tuple, t_tile: int, cols: int,
     kk = cols * rmax
     mdim = co * psize
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
-    ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
+    ninvs = tuple(_ninv_triple(n, p) for p in primes)
     c26s = tuple(
         ((1 << 26) % p, ((1 << 26) % p << 30) // p) for p in primes
     )
@@ -680,7 +681,7 @@ def _tensor_wide_fn(n: int, primes: tuple, t_tile: int, size_a: int,
     logn = n.bit_length() - 1
     P = len(primes)
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
-    ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
+    ninvs = tuple(_ninv_triple(n, p) for p in primes)
     r2s = tuple(R * R % p for p in primes)
     c26s = tuple(
         ((1 << 26) % p, ((1 << 26) % p << 30) // p) for p in primes

@@ -249,6 +249,21 @@ def _use_fused_br(module, brk, base2k, extra_bits=0):
     return base2k + int(extra_bits + 2).bit_length() <= 29
 
 
+def _rot_shoup(module, use_mxu: bool) -> bool:
+    """Input-side Shoup rotate in the fused VPU block kernel: needs lazy
+    primes (values in [0, 2p)) and the Shoup knob on (POULPY_TPU_SHOUP).
+    POULPY_TPU_ROT_SHOUP=0 restores the output-side Montgomery rotate
+    (A/B knob, tools/probes/_gate_probe.py)."""
+    import os
+
+    from poulpy_tpu.backends.pallas_fused import _use_shoup
+    from poulpy_tpu.backends.pallas_ntt import lazy_ok
+
+    if os.environ.get("POULPY_TPU_ROT_SHOUP", "1") == "0":
+        return False
+    return (not use_mxu and lazy_ok(module.basis.primes) and _use_shoup())
+
+
 def _use_mxu_br(module, brk, base2k):
     """MXU-transform variant of the fused blind-rotation kernels."""
     from poulpy_tpu import backends
@@ -331,6 +346,33 @@ def _xpow_minus1_table(n: int, primes: tuple):
     return (xpow - one_m) % p_arr
 
 
+@functools.lru_cache(maxsize=None)
+def _xpow_minus1_shoup_table(n: int, primes: tuple):
+    """PLAIN NTT(X^j − 1) stacked with its Harvey/Shoup quotients:
+    `[2N, 2, P, N]` int64 NUMPY array (trace-safe, see _xpow_table).
+
+    [j, 0] = (NTT(X)^j − 1) mod p, [j, 1] = floor(value·2^30 / p) — feeds
+    the fused block-step kernel's input-side Shoup rotate (pallas_fused
+    rot_shoup: 6 vector multiplies per product vs Montgomery's 11, applied
+    to the kk VMP input rows instead of the mdim output rows)."""
+    from poulpy_tpu.backends.mxu_ntt4 import _np_hal_ntt_probe
+
+    P = len(primes)
+    out = np.zeros((2 * n, 2, P, n), dtype=np.int64)
+    for pi, p in enumerate(primes):
+        base = _np_hal_ntt_probe(p, n)          # canonical NTT(X), [N]
+        vals = np.zeros((2 * n, n), dtype=np.int64)
+        row = np.ones(n, dtype=np.int64)
+        for j in range(n):
+            vals[j] = row
+            row = row * base % p                # < 2^60: exact in int64
+        vals[n:] = (p - vals[:n]) % p           # X^{N+j} = −X^j
+        w = (vals - 1) % p                      # − NTT(1) = all-ones, plain
+        out[:, 0, pi] = w
+        out[:, 1, pi] = (w << 30) // p          # w < 2^28: shift is exact
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("module", "block_size", "res_k")
 )
@@ -385,10 +427,16 @@ def blind_rotation_execute_block(
     if _use_fused_br(module, brk, base2k):
         from poulpy_tpu.backends.pallas_fused import pm_kernel_layout
 
-        # both fused kernels take Montgomery NTT(X^a − 1) so the CGGI
-        # rotate-and-subtract is a single in-kernel multiply
-        xpow = _xpow_minus1_table(n, module.basis.primes)
+        # both fused kernels take NTT(X^a − 1) so the CGGI rotate-and-
+        # subtract is a single in-kernel multiply; with lazy primes the VPU
+        # kernel takes the (plain, quotient) Shoup table applied to the VMP
+        # input instead (rot_shoup — fewer rows AND fewer multiplies)
         use_mxu = _use_mxu_br(module, brk, base2k)
+        rot_shoup = _rot_shoup(module, use_mxu)
+        if rot_shoup:
+            xpow = _xpow_minus1_shoup_table(n, module.basis.primes)
+        else:
+            xpow = _xpow_minus1_table(n, module.basis.primes)
         if use_mxu:
             from poulpy_tpu.backends.pallas_fused_mxu import (
                 _sigma_perm,
@@ -414,9 +462,10 @@ def blind_rotation_execute_block(
         def block_step_fused(acc, inputs):
             a_blk, pm_blk = inputs
             apos = jnp.moveaxis(a_blk, 0, -1) & (2 * n - 1)  # [...batch, blk]
-            xp = jnp.take(xpow32, apos, axis=0)   # [..., block, P, N]
+            xp = jnp.take(xpow32, apos, axis=0)  # [.., block, (2,) P, N]
+            kw = {} if use_mxu else {"rot_shoup": rot_shoup}
             acc = br_step_fn(
-                module, acc, pm_blk, xp, size, base2k
+                module, acc, pm_blk, xp, size, base2k, **kw
             )
             return acc, None
 

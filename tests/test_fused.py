@@ -243,14 +243,18 @@ def test_fused_product_small64_matches_jnp(prime_bits, s64_size):
         pytest.param(2, 28, 3, marks=pytest.mark.slow),
     ],
 )
-def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch):
+@pytest.mark.parametrize("rot_shoup", [False, True])
+def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch,
+                                         rot_shoup):
     """One fused block-binary CGGI step vs the stage-by-stage jnp math
     (blind_rotation_execute_block's block_step, algorithm.rs:275-368)."""
     from poulpy_tpu.backends.pallas_fused import (
         fused_br_block_step,
         pm_kernel_layout,
     )
+    from poulpy_tpu.backends.pallas_ntt import lazy_ok
     from poulpy_tpu.binfhe.blind_rotation import (
+        _xpow_minus1_shoup_table,
         _xpow_minus1_table,
         _xpow_table,
     )
@@ -258,6 +262,8 @@ def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch):
 
     n = 128
     m = get_module(n, nprimes, prime_bits)
+    if rot_shoup and not lazy_ok(m.basis.primes):
+        pytest.skip("input-side Shoup rotate needs lazy primes")
     P = nprimes
     base2k, cols, size, rows, psize, block = 17, 2, 3, 3, 4, 4
     t = m.tables
@@ -289,10 +295,13 @@ def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch):
         # fused kernel
         rmax = min(rows, size)
         pm_k = jnp.swapaxes(pm_kernel_layout(pmats, rmax), 0, 1)
-        xpm1 = _xpow_minus1_table(n, m.basis.primes)
+        if rot_shoup:
+            xpm1 = _xpow_minus1_shoup_table(n, m.basis.primes)
+        else:
+            xpm1 = _xpow_minus1_table(n, m.basis.primes)
         xp_in = jnp.take(xpm1, a_vals, axis=0).astype(jnp.int32)
         have = fused_br_block_step(m, acc, pm_k, xp_in, size, base2k,
-                                   t_tile=2)
+                                   t_tile=2, rot_shoup=rot_shoup)
     assert np.array_equal(np.asarray(have), np.asarray(want))
 
 
