@@ -2,11 +2,21 @@
 
 The reference ships ~26 criterion benches under poulpy-bench/benches/
 (vec_znx_*.rs, vec_znx_dft_*.rs, svp_*.rs, vmp_*.rs, convolution.rs)
-sweeping log_n. This sweeps the same primitive surface on one TPU chip,
+sweeping log_n.  This sweeps the same primitive surface on one TPU chip,
 batched (the TPU throughput axis), and prints one JSON line per
 (op, log_n) with ops/s (per single un-batched op).
 
-Usage:  python bench_sweep.py [--logn 10 11 12] [--batch 64] [--iters 5]
+Measurement method (r5, VERDICT r4 item 6): every op is timed as a
+CHAIN of dependent applications inside ONE jitted lax.scan — the same
+technique that separated the keyswitch's 1.7 ms on-device latency from
+the ~28 ms axon-tunnel dispatch floor.  Each scan iteration perturbs the
+input with the loop counter (no hoisting) and folds a full-array checksum
+into the carry (no DCE), so the per-iteration time is DEVICE time plus
+one reduce; the old per-call timing bottomed out at the ~6 ms dispatch
+floor for every DFT-domain row (BENCH_NOTES "Caveat").
+
+Usage:  python bench_sweep.py [--logn 10 11 12] [--batch 64]
+        [--chain 32] [--reps 3]
 """
 
 import argparse
@@ -28,21 +38,42 @@ DNUM = 3
 NPRIMES = 2
 
 
-def _timeit(fn, args, iters):
-    out = fn(*args)
-    jax.block_until_ready(out)        # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _chain_time(op_fn, chain, reps):
+    """Median seconds per op application: `chain` dependent applications
+    of op_fn(i) inside one jitted scan.  op_fn takes the iteration counter
+    (int64 scalar) and returns one array; the counter perturbation defeats
+    loop-invariant hoisting and the full-sum carry defeats DCE."""
+
+    @jax.jit
+    def run(c0):
+        def body(carry, _):
+            i, s = carry
+            out = op_fn(i + (s & 1))      # data-dependent: serializes
+            return (i + 1, s + jnp.sum(out).astype(jnp.int64)), None
+
+        (_, s), _ = jax.lax.scan(
+            body, (jnp.int64(0), c0), None, length=chain
+        )
+        return s
+
+    s = run(jnp.int64(0))
+    jax.block_until_ready(s)              # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        s = run(s & 1)
+        jax.block_until_ready(s)
+        times.append((time.perf_counter() - t0) / chain)
+    return float(np.median(times))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--logn", type=int, nargs="+", default=[10, 11, 12, 13])
-    ap.add_argument("--batch", type=int, default=int(os.environ.get("BENCH_BATCH", 64)))
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--batch", type=int,
+                    default=int(os.environ.get("BENCH_BATCH", 64)))
+    ap.add_argument("--chain", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     from poulpy_tpu.hal import dft, vec_znx
@@ -62,62 +93,47 @@ def main():
         b = jnp.asarray(
             rng.integers(-(2**40), 2**40, size=(B, SIZE, n), dtype=np.int64)
         )
-        svp_poly = jnp.asarray(rng.integers(-(2**20), 2**20, size=(n,), dtype=np.int64))
-        # MatZnx [rows, cols_in, cols_out, size, N] — the keyswitch-shaped VMP
-        pmat_raw = jnp.asarray(
-            rng.integers(-(2**40), 2**40, size=(DNUM, 1, 2, SIZE, n), dtype=np.int64)
+        svp_poly = jnp.asarray(
+            rng.integers(-(2**20), 2**20, size=(n,), dtype=np.int64)
         )
+        # MatZnx [rows, cols_in, cols_out, size, N] — keyswitch-shaped VMP
+        pmat_raw = jnp.asarray(rng.integers(
+            -(2**40), 2**40, size=(DNUM, 1, 2, SIZE, n), dtype=np.int64
+        ))
+        xd = dft.dft_apply(module, a)
+        svp_prep = dft.svp_prepare(module, svp_poly)
+        pmat = dft.vmp_prepare(module, pmat_raw)
+        adft = dft.dft_apply(module, a[:, None, :DNUM, :])
+        cl = dft.cnv_prepare_left(module, a)
+        cr = dft.cnv_prepare_right(module, b)
 
-        # --- vec_znx elementwise ops (vec_znx_add.rs / _sub / _negate /
-        #     _rotate / _normalize benches) ---
+        # each op as fn(counter) -> array (counter folds into the input)
         ops = {
-            "vec_znx_add": (jax.jit(lambda x, y: vec_znx.vec_znx_add(x, y)), (a, b)),
-            "vec_znx_sub": (jax.jit(lambda x, y: vec_znx.vec_znx_sub(x, y)), (a, b)),
-            "vec_znx_rotate": (
-                jax.jit(lambda x: vec_znx.vec_znx_rotate(3, x)),
-                (a,),
+            "vec_znx_add": lambda i: vec_znx.vec_znx_add(a + i, b),
+            "vec_znx_sub": lambda i: vec_znx.vec_znx_sub(a + i, b),
+            "vec_znx_rotate": lambda i: vec_znx.vec_znx_rotate(3, a + i),
+            "vec_znx_normalize": lambda i: vec_znx_normalize(
+                BASE2K, a + i
             ),
-            "vec_znx_normalize": (
-                jax.jit(lambda x: vec_znx_normalize(BASE2K, x)),
-                (a,),
+            "vec_znx_dft": lambda i: dft.dft_apply(module, a + i),
+            "vec_znx_idft": lambda i: dft.idft_apply(module, xd + i),
+            "svp_apply": lambda i: dft.svp_apply(
+                module, xd + i, svp_prep
+            ),
+            "vmp_apply": lambda i: dft.vmp_apply(module, adft + i, pmat),
+            "convolution": lambda i: dft.cnv_apply(
+                module, cl + i, cr, 2 * SIZE - 1
             ),
         }
 
-        # --- DFT domain (vec_znx_dft.rs / _idft benches) ---
-        xd = dft.dft_apply(module, a)
-        ops["vec_znx_dft"] = (jax.jit(lambda x: dft.dft_apply(module, x)), (a,))
-        ops["vec_znx_idft"] = (jax.jit(lambda x: dft.idft_apply(module, x)), (xd,))
-
-        # --- SVP (svp_apply.rs) ---
-        svp_prep = dft.svp_prepare(module, svp_poly)
-        ops["svp_apply"] = (
-            jax.jit(lambda xdft, s: dft.svp_apply(module, xdft, s)),
-            (xd, svp_prep),
-        )
-
-        # --- VMP (vmp_apply.rs): keyswitch-shaped [dnum, 1, 2, size] matrix ---
-        pmat = dft.vmp_prepare(module, pmat_raw)
-        adft = dft.dft_apply(module, a[:, None, :DNUM, :])   # [B, ci=1, r, P, N]
-        ops["vmp_apply"] = (
-            jax.jit(lambda x, m: dft.vmp_apply(module, x, m)),
-            (adft, pmat),
-        )
-
-        # --- negacyclic convolution (convolution.rs) ---
-        cl = dft.cnv_prepare_left(module, a)
-        cr = dft.cnv_prepare_right(module, b)
-        ops["convolution"] = (
-            jax.jit(lambda l, r: dft.cnv_apply(module, l, r, 2 * SIZE - 1)),
-            (cl, cr),
-        )
-
-        for name, (fn, fargs) in ops.items():
-            dt = _timeit(fn, fargs, args.iters)
+        for name, fn in ops.items():
+            dt = _chain_time(fn, args.chain, args.reps)
             per_op = dt / B
             rec = {
                 "op": name,
                 "log_n": logn,
                 "batch": B,
+                "chain": args.chain,
                 "us_per_op": round(per_op * 1e6, 3),
                 "ops_per_s": round(1.0 / per_op, 1),
             }

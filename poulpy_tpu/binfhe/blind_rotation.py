@@ -174,6 +174,15 @@ def blind_rotation_execute(
     encrypting X^{-dec(lwe)}·LUT.  Only extension_factor == 1 supported here
     (the block-binary / extended paths are separate follow-ups).
     """
+    if module.mesh is not None:
+        from poulpy_tpu.parallel.auto import dp_shard
+
+        return dp_shard(
+            module,
+            lambda l: blind_rotation_execute(module.local, l, lut, brk,
+                                             res_k),
+            lwe,
+        )
     assert lut.extension_factor == 1
     n = module.n
     base2k = brk.base2k
@@ -392,6 +401,16 @@ def blind_rotation_execute_block(
     (X^{a_i} − 1)·(DFT(acc) ⊡ BRK_i) accumulated in the NTT domain, with
     X^{a_i} applied as a gather from the precomputed x-power table.
     """
+    if module.mesh is not None:
+        from poulpy_tpu.parallel.auto import dp_shard
+
+        return dp_shard(
+            module,
+            lambda l: blind_rotation_execute_block(
+                module.local, l, lut, brk, block_size, res_k
+            ),
+            lwe,
+        )
     assert lut.extension_factor == 1
     n = module.n
     base2k = brk.base2k
@@ -517,6 +536,16 @@ def blind_rotation_execute_extended(
     X^{hi + (i < lo)} — realized as a batched gather over the part axis plus
     an x-power-table gather, identical for every a_i.
     """
+    if module.mesh is not None:
+        from poulpy_tpu.parallel.auto import dp_shard
+
+        return dp_shard(
+            module,
+            lambda l: blind_rotation_execute_extended(
+                module.local, l, lut, brk, block_size, res_k
+            ),
+            lwe,
+        )
     ext = lut.extension_factor
     n = module.n
     base2k = brk.base2k

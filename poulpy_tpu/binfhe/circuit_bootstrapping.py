@@ -108,6 +108,17 @@ def circuit_bootstrap(
     blind rotation through the block-binary path.  Both compose with each
     other and with either encoding.
     """
+    if module.mesh is not None:
+        from poulpy_tpu.parallel.auto import dp_shard
+
+        return dp_shard(
+            module,
+            lambda l: circuit_bootstrap(
+                module.local, l, log_domain, key, dnum_res, k_res,
+                to_exponent, extension_factor,
+            ),
+            lwe,
+        )
     base2k = key.brk.base2k
     res_base2k = base2k
     alpha = 1 << (dnum_res - 1).bit_length() if dnum_res > 1 else 1

@@ -239,6 +239,14 @@ def mul(
     a single power-of-two offset inside the final normalization — the
     bit-shift rescale that replaces RNS modswitching.
     """
+    if module.mesh is not None:
+        from poulpy_tpu.parallel.auto import dp_shard
+
+        return dp_shard(
+            module,
+            lambda a_, b_: mul(module.local, a_, b_, tensor_key, res_k),
+            a, b,
+        )
     ga, gb = a.glwe, b.glwe
     if ga.base2k != gb.base2k:
         raise PlaintextBase2KMismatch("mul", ga.base2k, gb.base2k)

@@ -28,6 +28,18 @@ def glwe_external_product(
     res_base2k: int | None = None,
     res_k: int | None = None,
 ) -> GLWECiphertext:
+    if module.mesh is not None:
+        # mesh-attached Module: run the batch dp-sharded through the same
+        # entry point with the mesh-less twin (parallel/auto.py)
+        from poulpy_tpu.parallel.auto import dp_shard
+
+        return dp_shard(
+            module,
+            lambda a_: glwe_external_product(
+                module.local, a_, ggsw, res_base2k, res_k
+            ),
+            a,
+        )
     res_base2k = a.base2k if res_base2k is None else res_base2k
     res_k = a.k if res_k is None else res_k
     res_size = glwe_size(res_base2k, res_k)

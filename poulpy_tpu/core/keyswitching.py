@@ -65,6 +65,16 @@ def glwe_keyswitch(
       a_dft[i] = DFT(a[i+1]);  res_dft = gglwe_product(a_dft, key);
       res_big = iDFT(res_dft);  res_big[0] += a[0];  res = big_normalize.
     """
+    if module.mesh is not None:
+        from poulpy_tpu.parallel.auto import dp_shard
+
+        return dp_shard(
+            module,
+            lambda a_: glwe_keyswitch(
+                module.local, a_, key, res_base2k, res_k
+            ),
+            a,
+        )
     res_base2k = a.base2k if res_base2k is None else res_base2k
     res_k = a.k if res_k is None else res_k
     res_size = glwe_size(res_base2k, res_k)

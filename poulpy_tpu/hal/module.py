@@ -40,6 +40,18 @@ class Module:
         self.log_n = n.bit_length() - 1
         self.basis = PrimeBasis(ntt_primes(nprimes, below=1 << prime_bits))
         self.tables = NttTables(self.basis, n)
+        # mesh-aware backend handle (SURVEY §2.8: Module ↔ (mesh, N,
+        # constants)): set via module_with_mesh, consulted by the public
+        # entry points (parallel/auto.py)
+        self.mesh = None
+        self.batch_axis = "dp"
+        self._local = self
+
+    @property
+    def local(self):
+        """The mesh-less twin (self when no mesh is attached) — what ops
+        re-enter with inside a shard_map region."""
+        return self._local
 
     @property
     def nprimes(self) -> int:
@@ -70,3 +82,19 @@ class Module:
 @functools.lru_cache(maxsize=None)
 def get_module(n: int, nprimes: int = 4, prime_bits: int = 30) -> Module:
     return Module(n, nprimes, prime_bits)
+
+
+def module_with_mesh(module: Module, mesh, batch_axis: str = "dp") -> Module:
+    """Mesh-attached twin of `module` sharing its tables: the public entry
+    points then run batch-sharded over `mesh`'s `batch_axis` transparently
+    (parallel/auto.py).  The twin is a distinct object, so jit caches never
+    mix sharded and local traces (the module is the static cache key)."""
+    m = object.__new__(Module)
+    m.n = module.n
+    m.log_n = module.log_n
+    m.basis = module.basis
+    m.tables = module.tables
+    m.mesh = mesh
+    m.batch_axis = batch_axis
+    m._local = module.local
+    return m

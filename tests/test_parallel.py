@@ -230,3 +230,85 @@ def test_sharded_brk_blind_rotation_matches():
         base2k, 10, dec.glwe_decrypt(m, glwe, skp).data
     ))[:, 0]
     assert np.max(np.abs(vals - msgs)) <= 1, (msgs, vals)
+
+
+def test_mesh_module_external_product_bit_exact():
+    """A mesh-attached Module runs the PUBLIC external product dp-sharded
+    and bit-exactly equal to the local path (parallel/auto.py)."""
+    from poulpy_tpu.hal.module import module_with_mesh
+    from poulpy_tpu.parallel.auto import shard_batch as auto_shard
+
+    base2k, k_ct, k_key = 17, 51, 68
+    m = get_module(64, 2)
+    mesh = jax.make_mesh((8,), ("dp",))
+    mm = module_with_mesh(m, mesh)
+
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    sk = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk)
+    batch = 16
+    rng = np.random.default_rng(3)
+    data = rng.integers(-(2**10), 2**10, size=(batch, 64), dtype=np.int64)
+    pt = GLWEPlaintext(
+        data=vec_znx.encode_vec_i64(base2k, 34, 3, jnp.asarray(data)),
+        base2k=base2k, k=34,
+    )
+    ct = enc.glwe_encrypt_sk(
+        m, pt, skp, base2k, k_ct, xe, xa, batch_shape=(batch,)
+    )
+    ptg = np.zeros(64, dtype=np.int64)
+    ptg[1] = 1
+    ggswp = ggsw_prepare(m, enc.ggsw_encrypt_sk(
+        m, jnp.asarray(ptg), skp, base2k, k_key, dnum=3,
+        source_xe=xe, source_xa=xa,
+    ))
+
+    want = glwe_external_product(m, ct, ggswp)
+    ct_sh = ct.replace(data=auto_shard(mm, ct.data))
+    have = glwe_external_product(mm, ct_sh, ggswp)
+    assert "dp" in str(have.data.sharding.spec)
+    assert np.array_equal(np.asarray(have.data), np.asarray(want.data))
+
+
+def test_mesh_module_ckks_mul_bit_exact():
+    """Public CKKS mul on a mesh-attached Module == local, bit-exact."""
+    from poulpy_tpu.ckks import ops as ck
+    from poulpy_tpu.ckks.encoder import Encoder
+    from poulpy_tpu.core.prepared import glwe_tensor_key_prepare
+    from poulpy_tpu.hal.module import module_with_mesh
+    from poulpy_tpu.parallel.auto import shard_batch as auto_shard
+
+    n, base2k, k_ct, k_key = 64, 17, 95, 95
+    m = get_module(n, 2, 28)
+    mesh = jax.make_mesh((8,), ("dp",))
+    mm = module_with_mesh(m, mesh)
+    src = Source(bytes(32))
+    sk = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk)
+    xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
+    tsk = glwe_tensor_key_prepare(
+        m,
+        enc.glwe_tensor_key_encrypt_sk(
+            m, sk, skp, base2k, k_key, dnum=6, source_xe=xe, source_xa=xa
+        ),
+    )
+    encd = Encoder(n)
+    rng = np.random.default_rng(5)
+    batch = 8
+    z = rng.normal(size=(batch, n // 2)) + 1j * rng.normal(
+        size=(batch, n // 2)
+    )
+    pt = ck.encode(encd, z, base2k, k_ct, 22, 30)
+    c1 = ck.encrypt_sk(m, pt, skp, k_ct, Source(b"\x03" * 32),
+                       Source(b"\x04" * 32), batch_shape=(batch,))
+    c2 = ck.encrypt_sk(m, pt, skp, k_ct, Source(b"\x05" * 32),
+                       Source(b"\x06" * 32), batch_shape=(batch,))
+
+    want = ck.mul(m, c1, c2, tsk)
+    c1s = c1.replace(glwe=c1.glwe.replace(data=auto_shard(mm, c1.glwe.data)))
+    have = ck.mul(mm, c1s, c2, tsk)
+    assert np.array_equal(
+        np.asarray(have.glwe.data), np.asarray(want.glwe.data)
+    )
+    assert have.meta == want.meta

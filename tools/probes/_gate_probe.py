@@ -17,6 +17,7 @@ Run: timeout 1700 python tools/probes/_gate_probe.py [--sweep]
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 
