@@ -139,6 +139,21 @@ def main():
     jax.block_until_ready(out3)
     print(f"sp: ring-sharded external product (N={n3} over sp={sp}) ✓")
 
+    # --- mesh-attached Module: the PUBLIC API runs dp-sharded with NO
+    # wrapper functions (hal.module.module_with_mesh + parallel/auto.py)
+    from poulpy_tpu.core.external_product import glwe_external_product
+    from poulpy_tpu.hal.module import module_with_mesh
+    from poulpy_tpu.parallel.auto import shard_batch as auto_shard
+
+    mm = module_with_mesh(m, mesh_dp)
+    ct_sh = ct.replace(data=auto_shard(mm, ct.data))
+    want = glwe_external_product(m, ct, ggswp)        # local
+    have = glwe_external_product(mm, ct_sh, ggswp)    # same call, sharded
+    assert np.array_equal(np.asarray(have.data), np.asarray(want.data))
+    print(f"mesh-module: public external product dp-sharded over "
+          f"{ndev} devices, bit-exact vs local ✓ "
+          f"({have.data.sharding.spec})")
+
 
 if __name__ == "__main__":
     main()

@@ -650,7 +650,7 @@ def _lazy_reduce(x, bound: int, p: int, target: int):
 def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                  t_tile, cols, size_a, rmax, co, psize,
                  res_size, kr, ka, offset, block, rotate, add_acc, s_size,
-                 s64_size, shoup, rot_shoup,
+                 s64_size, shoup, rot_shoup, steps,
                  *refs):
     it = iter(refs)
     a_ref = next(it)
@@ -672,170 +672,182 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
     sl = x.ndim == 3       # sublane/lane-split layout (see _ntt_rows_sl)
     tail = x.shape[1:]
 
-    ys = []
-    for pi, p in enumerate(primes):
-        qinv = qinvs[pi]
-        if lazy:
-            # residues: |x| < 2^29 ⇒ shift by a p-multiple ≥ 2^29 to make
-            # non-negative, then csub chain (NTT entry only needs [0, 2p))
-            shift = 4 * p
-            while shift < (1 << 29):
-                shift *= 2
-            r = _lazy_reduce(x + jnp.int32(shift), (1 << 29) + shift,
-                             p, 2 * p)
-        else:
-            # residues: |x| < 2^29 < 2p ⇒ one conditional add + one csub
-            r = jnp.where(x < 0, x + jnp.int32(2 * p), x)
-            r = jnp.where(r >= p, r - p, r)
-        if sl:
-            r = _ntt_rows_sl(r, wf_ref, n, logn, p, qinv, pi, lazy)
-        elif r.shape[0] % 2 == 0:
-            r = _ntt_rows_paired(r, wf_ref, n, logn, p, qinv, pi, lazy,
-                                 shoup)
-        else:
-            lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
-            r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi, lazy,
-                          shoup)
-        r4 = r.reshape(t_tile, cols, size_a, *tail)[:, :, :rmax]
-        r4 = r4.reshape(t_tile, kk, *tail)  # [0, 2p) when lazy else [0, p)
-        add = None
-        add_b = 0                           # static value bound (lazy mode)
-        for bi in range(block):
-            if rotate and rot_shoup:
-                # (X^{a_i} − 1) applied to the VMP INPUT (the external
-                # product is linear in acc, so xp·(acc ⊡ K) = (xp·acc) ⊡ K)
-                # — kk rows of 6-mul Shoup products instead of mdim rows of
-                # 11-mul Montgomery products on the output (kk < mdim at
-                # every BR config: rmax ≤ size < psize).  xp_ref stacks
-                # (plain, Harvey quotient) per table entry.
-                xw = xp_ref[pi, bi, 0][:, None]          # [T, 1, N]
-                xq = xp_ref[pi, bi, 1][:, None]
-                # r4 < 2p < 2^29 ⇒ Shoup result < p·(1 + 2p/2^30) < 2p
-                rsrc = shoup_mul_i32_lazy(r4, xw, xq, p)
-            else:
-                rsrc = r4
-            acc = None
-            acc_b = 0
+    # steps > 1 chains whole block steps inside ONE kernel launch (the
+    # normalized accumulator never leaves VMEM between them) — valid when
+    # the output shape re-enters as the accumulator (BR: cols == co,
+    # size_a == res_size, add_acc, rotate)
+    assert steps == 1 or (rotate and add_acc and cols == co
+                          and size_a == res_size and not s_size
+                          and not s64_size and not sl)
+    for st in range(steps):
+        ys = []
+        for pi, p in enumerate(primes):
+            qinv = qinvs[pi]
             if lazy:
-                # deferred REDC: accumulate full 64-bit products (4 digit
-                # muls each), ONE Montgomery fold per ≤16-term chunk —
-                # instead of a full REDC (11 digit muls) per term.
-                # Chunk bound: S < 16·2p·p < 2^61 keeps T = S·R^{-1}
-                # < S/2^30 + p < 2^31 in i32 (and < 4p when kk ≤ 6).
-                for k0 in range(0, kk, 16):
-                    ks = range(k0, min(k0 + 16, kk))
-                    hi = lo = None
-                    for k in ks:
-                        ak = rsrc[:, k][:, None]                 # < 2p
-                        bk = pm_ref[pi, bi, k][None]             # < p
-                        ph, plo = _mul_pair_30x28(ak, bk)
-                        if hi is None:
-                            hi, lo = ph, plo
-                        else:
-                            hi, lo = _add64(hi, lo, ph, plo)
-                    t = _redc64_pair(hi, lo, p, qinv)
-                    t_b = ((len(ks) * 2 * p * p) >> 30) + p + 1
-                    if acc is None:
-                        acc, acc_b = t, t_b
-                    else:
-                        if acc_b + t_b >= i32_cap:
-                            acc = _lazy_reduce(acc, acc_b, p, 2 * p)
-                            acc_b = 2 * p
-                        acc = acc + t
-                        acc_b += t_b
+                # residues: |x| < 2^29 ⇒ shift by a p-multiple ≥ 2^29 to make
+                # non-negative, then csub chain (NTT entry only needs [0, 2p))
+                shift = 4 * p
+                while shift < (1 << 29):
+                    shift *= 2
+                r = _lazy_reduce(x + jnp.int32(shift), (1 << 29) + shift,
+                                 p, 2 * p)
             else:
-                for k in range(kk):
-                    ak = rsrc[:, k][:, None]
-                    bk = pm_ref[pi, bi, k][None]
-                    term = mont_mul_i32(ak, bk, p, qinv)         # [T, M, N]
-                    acc = term if acc is None else _add_mod(acc, term, p)
-            if rotate and not rot_shoup:
-                # xp holds Montgomery NTT(X^{a_i} − 1) (the −1 is folded
-                # into the table, _xpow_minus1_table), so the rotate-and-
-                # subtract collapses to ONE multiply
-                xp = xp_ref[pi, bi]         # [T, N]
-                if lazy:
-                    if acc_b > min(4 * p, 1 << 30):
-                        acc = _lazy_reduce(acc, acc_b, p, 2 * p)
-                    acc = mont_mul_i32_lazy(acc, xp[:, None], p, qinv)
-                    acc_b = 2 * p
+                # residues: |x| < 2^29 < 2p ⇒ one conditional add + one csub
+                r = jnp.where(x < 0, x + jnp.int32(2 * p), x)
+                r = jnp.where(r >= p, r - p, r)
+            if sl:
+                r = _ntt_rows_sl(r, wf_ref, n, logn, p, qinv, pi, lazy)
+            elif r.shape[0] % 2 == 0:
+                r = _ntt_rows_paired(r, wf_ref, n, logn, p, qinv, pi, lazy,
+                                     shoup)
+            else:
+                lane = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+                r = _ntt_rows(r, wf_ref, lane, n, logn, p, qinv, pi, lazy,
+                              shoup)
+            r4 = r.reshape(t_tile, cols, size_a, *tail)[:, :, :rmax]
+            r4 = r4.reshape(t_tile, kk, *tail)  # [0, 2p) when lazy else [0, p)
+            add = None
+            add_b = 0                           # static value bound (lazy mode)
+            for bi in range(block):
+                if rotate and rot_shoup:
+                    # (X^{a_i} − 1) applied to the VMP INPUT (the external
+                    # product is linear in acc, so xp·(acc ⊡ K) = (xp·acc) ⊡ K)
+                    # — kk rows of 6-mul Shoup products instead of mdim rows of
+                    # 11-mul Montgomery products on the output (kk < mdim at
+                    # every BR config: rmax ≤ size < psize).  xp_ref stacks
+                    # (plain, Harvey quotient) per table entry.
+                    xw = xp_ref[pi, st * block + bi, 0][:, None]          # [T, 1, N]
+                    xq = xp_ref[pi, st * block + bi, 1][:, None]
+                    # r4 < 2p < 2^29 ⇒ Shoup result < p·(1 + 2p/2^30) < 2p
+                    rsrc = shoup_mul_i32_lazy(r4, xw, xq, p)
                 else:
-                    acc = mont_mul_i32(acc, xp[:, None], p, qinv)
-            if add is None:
-                add, add_b = acc, acc_b
-            elif lazy:
-                if add_b + acc_b >= i32_cap:
-                    add = _lazy_reduce(add, add_b, p, 2 * p)
-                    add_b = 2 * p
-                if add_b + acc_b >= i32_cap:
-                    acc = _lazy_reduce(acc, acc_b, p, 2 * p)
-                    acc_b = 2 * p
-                add = add + acc
-                add_b += acc_b
+                    rsrc = r4
+                acc = None
+                acc_b = 0
+                if lazy:
+                    # deferred REDC: accumulate full 64-bit products (4 digit
+                    # muls each), ONE Montgomery fold per ≤16-term chunk —
+                    # instead of a full REDC (11 digit muls) per term.
+                    # Chunk bound: S < 16·2p·p < 2^61 keeps T = S·R^{-1}
+                    # < S/2^30 + p < 2^31 in i32 (and < 4p when kk ≤ 6).
+                    for k0 in range(0, kk, 16):
+                        ks = range(k0, min(k0 + 16, kk))
+                        hi = lo = None
+                        for k in ks:
+                            ak = rsrc[:, k][:, None]                 # < 2p
+                            bk = pm_ref[pi, st * block + bi, k][None]             # < p
+                            ph, plo = _mul_pair_30x28(ak, bk)
+                            if hi is None:
+                                hi, lo = ph, plo
+                            else:
+                                hi, lo = _add64(hi, lo, ph, plo)
+                        t = _redc64_pair(hi, lo, p, qinv)
+                        t_b = ((len(ks) * 2 * p * p) >> 30) + p + 1
+                        if acc is None:
+                            acc, acc_b = t, t_b
+                        else:
+                            if acc_b + t_b >= i32_cap:
+                                acc = _lazy_reduce(acc, acc_b, p, 2 * p)
+                                acc_b = 2 * p
+                            acc = acc + t
+                            acc_b += t_b
+                else:
+                    for k in range(kk):
+                        ak = rsrc[:, k][:, None]
+                        bk = pm_ref[pi, st * block + bi, k][None]
+                        term = mont_mul_i32(ak, bk, p, qinv)         # [T, M, N]
+                        acc = term if acc is None else _add_mod(acc, term, p)
+                if rotate and not rot_shoup:
+                    # xp holds Montgomery NTT(X^{a_i} − 1) (the −1 is folded
+                    # into the table, _xpow_minus1_table), so the rotate-and-
+                    # subtract collapses to ONE multiply
+                    xp = xp_ref[pi, st * block + bi]         # [T, N]
+                    if lazy:
+                        if acc_b > min(4 * p, 1 << 30):
+                            acc = _lazy_reduce(acc, acc_b, p, 2 * p)
+                        acc = mont_mul_i32_lazy(acc, xp[:, None], p, qinv)
+                        acc_b = 2 * p
+                    else:
+                        acc = mont_mul_i32(acc, xp[:, None], p, qinv)
+                if add is None:
+                    add, add_b = acc, acc_b
+                elif lazy:
+                    if add_b + acc_b >= i32_cap:
+                        add = _lazy_reduce(add, add_b, p, 2 * p)
+                        add_b = 2 * p
+                    if add_b + acc_b >= i32_cap:
+                        acc = _lazy_reduce(acc, acc_b, p, 2 * p)
+                        acc_b = 2 * p
+                    add = add + acc
+                    add_b += acc_b
+                else:
+                    add = _add_mod(add, acc, p)
+            if lazy:
+                add = _lazy_reduce(add, add_b, p, 2 * p)
+            y = add.reshape(t_tile * mdim, *tail)
+            if sl:
+                ys.append(_intt_rows_sl(y, wi_ref, n, logn, p, qinv,
+                                        ninvs[pi], pi, lazy))
+            elif y.shape[0] % 2 == 0:
+                ys.append(_intt_rows_paired(y, wi_ref, n, logn, p, qinv,
+                                            ninvs[pi], pi, lazy, shoup))
             else:
-                add = _add_mod(add, acc, p)
-        if lazy:
-            add = _lazy_reduce(add, add_b, p, 2 * p)
-        y = add.reshape(t_tile * mdim, *tail)
-        if sl:
-            ys.append(_intt_rows_sl(y, wi_ref, n, logn, p, qinv,
-                                    ninvs[pi], pi, lazy))
-        elif y.shape[0] % 2 == 0:
-            ys.append(_intt_rows_paired(y, wi_ref, n, logn, p, qinv,
-                                        ninvs[pi], pi, lazy, shoup))
-        else:
-            lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
-            ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
-                                 ninvs[pi], pi, lazy, shoup))
+                lane_y = jax.lax.broadcasted_iota(jnp.int32, y.shape, 1)
+                ys.append(_intt_rows(y, wi_ref, lane_y, n, logn, p, qinv,
+                                     ninvs[pi], pi, lazy, shoup))
 
-    hi, lo = garner_center_pairs(ys, primes, qinvs, basis)  # [T·M, N]
+        hi, lo = garner_center_pairs(ys, primes, qinvs, basis)  # [T·M, N]
 
-    hi = hi.reshape(t_tile, co, psize, *tail)
-    lo = lo.reshape(t_tile, co, psize, *tail)
-    his = [[hi[:, c, j] for j in range(psize)] for c in range(co)]
-    los = [[lo[:, c, j] for j in range(psize)] for c in range(co)]
+        hi = hi.reshape(t_tile, co, psize, *tail)
+        lo = lo.reshape(t_tile, co, psize, *tail)
+        his = [[hi[:, c, j] for j in range(psize)] for c in range(co)]
+        los = [[lo[:, c, j] for j in range(psize)] for c in range(co)]
 
-    # --- + acc (block-binary carry) or + body (keyswitch), sign-extended ---
-    if add_acc:
-        x4 = x.reshape(t_tile, cols, size_a, *tail)
-        for c in range(min(cols, co)):
-            for j in range(min(size_a, psize)):
-                sj = x4[:, c, j]
-                his[c][j], los[c][j] = _add64(his[c][j], los[c][j],
-                                              sj >> 31, sj)
-    if s_size:
-        sm = sm_ref[...].reshape(t_tile, s_size, *tail)
-        for j in range(min(s_size, psize)):
-            sj = sm[:, j]
-            his[0][j], los[0][j] = _add64(his[0][j], los[0][j], sj >> 31, sj)
+        # --- + acc (block-binary carry) or + body (keyswitch), sign-extended ---
+        if add_acc:
+            x4 = x.reshape(t_tile, cols, size_a, *tail)
+            for c in range(min(cols, co)):
+                for j in range(min(size_a, psize)):
+                    sj = x4[:, c, j]
+                    his[c][j], los[c][j] = _add64(his[c][j], los[c][j],
+                                                  sj >> 31, sj)
+        if s_size:
+            sm = sm_ref[...].reshape(t_tile, s_size, *tail)
+            for j in range(min(s_size, psize)):
+                sj = sm[:, j]
+                his[0][j], los[0][j] = _add64(his[0][j], los[0][j], sj >> 31, sj)
 
-    # --- + per-column 64-bit terms (tensor-relinearize linear parts), as
-    # (hi, lo) i32 pairs; may carry MORE limbs than the product (the conv
-    # output is longer than the key psize) — extend with zero pairs --------
-    ext_size = max(psize, s64_size)
-    if s64_size:
-        zero = jnp.zeros((t_tile,) + tail, jnp.int32)
+        # --- + per-column 64-bit terms (tensor-relinearize linear parts), as
+        # (hi, lo) i32 pairs; may carry MORE limbs than the product (the conv
+        # output is longer than the key psize) — extend with zero pairs --------
+        ext_size = max(psize, s64_size)
+        if s64_size:
+            zero = jnp.zeros((t_tile,) + tail, jnp.int32)
+            for c in range(co):
+                his[c] += [zero] * (ext_size - psize)
+                los[c] += [zero] * (ext_size - psize)
+            h4 = s64h_ref[...].reshape(t_tile, co, s64_size, *tail)
+            l4 = s64l_ref[...].reshape(t_tile, co, s64_size, *tail)
+            for c in range(co):
+                for j in range(s64_size):
+                    his[c][j], los[c][j] = _add64(
+                        his[c][j], los[c][j], h4[:, c, j], l4[:, c, j]
+                    )
+
+        # --- bit-window telescoping + i32 carry scan (per output column) -------
+        out_rows = []
         for c in range(co):
-            his[c] += [zero] * (ext_size - psize)
-            los[c] += [zero] * (ext_size - psize)
-        h4 = s64h_ref[...].reshape(t_tile, co, s64_size, *tail)
-        l4 = s64l_ref[...].reshape(t_tile, co, s64_size, *tail)
-        for c in range(co):
-            for j in range(s64_size):
-                his[c][j], los[c][j] = _add64(
-                    his[c][j], los[c][j], h4[:, c, j], l4[:, c, j]
-                )
-
-    # --- bit-window telescoping + i32 carry scan (per output column) -------
-    out_rows = []
-    for c in range(co):
-        out_rows.extend(
-            normalize_windows(his[c], los[c], ext_size, res_size, kr, ka,
-                              offset)
+            out_rows.extend(
+                normalize_windows(his[c], los[c], ext_size, res_size, kr, ka,
+                                  offset)
+            )
+        rows = jnp.stack(out_rows, axis=1).reshape(
+            (t_tile * co * res_size,) + tail
         )
-    o_ref[...] = jnp.stack(out_rows, axis=1).reshape(
-        (t_tile * co * res_size,) + tail
-    )
+        if st + 1 < steps:
+            x = rows          # normalized acc feeds the next fused step
+        else:
+            o_ref[...] = rows
 
 
 @functools.lru_cache(maxsize=None)
@@ -843,7 +855,7 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
              rmax: int, co: int, psize: int, res_size: int, kr: int, ka: int,
              offset: int, block: int, rotate: bool, s_size: int,
              add_acc: bool, s64_size: int = 0, shoup: bool = False,
-             rot_shoup: bool = False):
+             rot_shoup: bool = False, steps: int = 1):
     logn = n.bit_length() - 1
     P = len(primes)
     kk = cols * rmax
@@ -869,7 +881,7 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
         _kernel_pipe, n, logn, primes, qinvs, ninvs, basis,
         t_tile, cols, size_a, rmax, co, psize,
         res_size, kr, ka, offset, block, rotate, add_acc, s_size, s64_size,
-        shoup, rot_shoup,
+        shoup, rot_shoup, steps,
     )
     rows_a = cols * size_a
     tail = (n // 128, 128) if sl else (n,)
@@ -890,7 +902,7 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
                          lambda bi: (bi,) + zi, memory_space=pltpu.VMEM),
             wspec,
             wspec,
-            pl.BlockSpec((P, block, kk, mdim) + tail,
+            pl.BlockSpec((P, steps * block, kk, mdim) + tail,
                          lambda bi: (0, 0, 0, 0) + zi,
                          memory_space=pltpu.VMEM),
         ]
@@ -902,7 +914,8 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
         ]
         if rotate:
             # rot_shoup: xp stacks (plain, Harvey quotient) → extra axis 2
-            xlead = (P, block, 2, t_tile) if rot_shoup else (P, block, t_tile)
+            xlead = ((P, steps * block, 2, t_tile) if rot_shoup
+                     else (P, steps * block, t_tile))
             nfix = len(xlead) - 1
             in_specs.append(
                 pl.BlockSpec(xlead + tail,
@@ -1196,6 +1209,7 @@ def fused_br_block_step(
     base2k: int,
     t_tile: int | None = None,
     rot_shoup: bool = False,
+    steps: int = 1,
 ):
     """One fused block-binary CGGI step (algorithm.rs:275-368):
 
@@ -1213,7 +1227,9 @@ def fused_br_block_step(
     """
     n = module.n
     P = module.nprimes
-    block = pm_k.shape[1]
+    blk_tot = pm_k.shape[1]               # steps · block
+    assert blk_tot % steps == 0
+    block = blk_tot // steps
     lead = acc.shape[:-3]
     cols, size_a = acc.shape[-3], acc.shape[-2]
     kk, mdim = pm_k.shape[2], pm_k.shape[3]
@@ -1222,20 +1238,20 @@ def fused_br_block_step(
     assert fused_supported(module, psize, base2k)
 
     b_tot = int(np.prod(lead, dtype=np.int64)) if lead else 1
-    t_tile = _pick_tile(n, P, cols, size_a, rmax, cols, psize, block,
+    t_tile = _pick_tile(n, P, cols, size_a, rmax, cols, psize, blk_tot,
                         b_tot, t_tile)
     a32 = acc.reshape(b_tot, cols * size_a, n).astype(jnp.int32)
     pad = (-b_tot) % t_tile
     if rot_shoup:
-        xp32 = xp.reshape(b_tot, block, 2, P, n).astype(jnp.int32)
-        xp32 = jnp.transpose(xp32, (3, 1, 2, 0, 4))  # [P, block, 2, B, N]
+        xp32 = xp.reshape(b_tot, blk_tot, 2, P, n).astype(jnp.int32)
+        xp32 = jnp.transpose(xp32, (3, 1, 2, 0, 4))  # [P, blk, 2, B, N]
         if pad:
             xp32 = jnp.pad(
                 xp32, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0))
             )
     else:
-        xp32 = xp.reshape(b_tot, block, P, n).astype(jnp.int32)
-        xp32 = jnp.transpose(xp32, (2, 1, 0, 3))      # [P, block, B, N]
+        xp32 = xp.reshape(b_tot, blk_tot, P, n).astype(jnp.int32)
+        xp32 = jnp.transpose(xp32, (2, 1, 0, 3))      # [P, blk, B, N]
         if pad:
             xp32 = jnp.pad(xp32, ((0, 0), (0, 0), (0, pad), (0, 0)))
     if pad:
@@ -1245,7 +1261,7 @@ def fused_br_block_step(
     out = _pipe_fn(
         n, module.basis.primes, t_tile, cols, size_a, rmax, cols, psize,
         res_size, base2k, base2k, 0, block, True, 0, True,
-        0, _use_shoup(), rot_shoup,
+        0, _use_shoup(), rot_shoup, steps,
     )(a32.reshape(bp * cols * size_a, n), pm_k, xp=xp32)
 
     out = out.reshape(bp, cols, res_size, n)[:b_tot]

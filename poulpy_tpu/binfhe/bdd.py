@@ -288,6 +288,38 @@ def fheuint_prepare(
     return FheUintPrepared(bits=bits, width=w)
 
 
+def fheuint_prepared_encrypt_sk(
+    module: Module,
+    value: int,
+    width: int,
+    skp,
+    base2k: int,
+    k: int,
+    dnum: int,
+    source_xe,
+    source_xa,
+) -> FheUintPrepared:
+    """Directly encrypt `value` into a FheUintPrepared — every bit as a
+    constant-GGSW encryption, immediately prepared, with NO packed-GLWE
+    FheUint intermediate (the testing/debug factory
+    FheUintPreparedEncryptSk, fhe_uint_prepared.rs:176-225).
+
+    All `width` bit-GGSWs encrypt through one batched keygen call (the bit
+    index is a leading batch axis)."""
+    from poulpy_tpu.core.encryption import ggsw_encrypt_sk
+
+    bits_msb0 = jnp.asarray(
+        [(value >> i) & 1 for i in range(width)], dtype=jnp.int64
+    )
+    pt = jnp.zeros((width, module.n), jnp.int64).at[:, 0].set(bits_msb0)
+    ggsw = ggsw_encrypt_sk(
+        module, pt, skp, base2k, k, dnum, source_xe, source_xa
+    )
+    prepared = ggsw_prepare(module, ggsw)
+    bits = [prepared.replace(pmat=prepared.pmat[j]) for j in range(width)]
+    return FheUintPrepared(bits=bits, width=width)
+
+
 # --------------------------------------------------------------------------
 # BDD evaluation
 # --------------------------------------------------------------------------

@@ -478,17 +478,51 @@ def blind_rotation_execute_block(
         pm_k = jnp.swapaxes(pm_kernel_layout(pm_blocks, rmax), 1, 2)
         xpow32 = xpow.astype(jnp.int32)
 
-        def block_step_fused(acc, inputs):
-            a_blk, pm_blk = inputs
-            apos = jnp.moveaxis(a_blk, 0, -1) & (2 * n - 1)  # [...batch, blk]
-            xp = jnp.take(xpow32, apos, axis=0)  # [.., block, (2,) P, N]
-            kw = {} if use_mxu else {"rot_shoup": rot_shoup}
-            acc = br_step_fn(
-                module, acc, pm_blk, xp, size, base2k, **kw
-            )
-            return acc, None
+        # chain `steps` whole block steps per kernel launch (the normalized
+        # accumulator stays in VMEM between them — halves the per-step acc
+        # HBM round trip + i64↔i32 conversion + launch overhead).  The
+        # trailing nblocks % steps blocks run as single-step launches.
+        import os as _os
 
-        acc, _ = jax.lax.scan(block_step_fused, acc0, (a_blocks, pm_k))
+        steps = 1 if use_mxu else max(
+            1, int(_os.environ.get("POULPY_TPU_BR_STEPS", "2"))
+        )
+        steps = min(steps, nblocks)
+
+        def run_span(acc, a_span, pm_span, st):
+            # a_span [g, st·block, ...batch]; pm_span [g, P, st·block, ...]
+            def step_fn(acc, inputs):
+                a_blk, pm_blk = inputs
+                apos = jnp.moveaxis(a_blk, 0, -1) & (2 * n - 1)
+                xp = jnp.take(xpow32, apos, axis=0)
+                kw = {} if use_mxu else {
+                    "rot_shoup": rot_shoup, "steps": st
+                }
+                return br_step_fn(
+                    module, acc, pm_blk, xp, size, base2k, **kw
+                ), None
+
+            acc, _ = jax.lax.scan(step_fn, acc, (a_span, pm_span))
+            return acc
+
+        main = (nblocks // steps) * steps
+        if steps > 1 and main:
+            a_main = a_blocks[:main].reshape(
+                (main // steps, steps * block_size) + a_blocks.shape[2:]
+            )
+            pm_main = pm_k[:main].reshape(
+                (main // steps, steps) + pm_k.shape[1:]
+            )
+            pm_main = jnp.swapaxes(pm_main, 1, 2).reshape(
+                (main // steps, pm_k.shape[1], steps * block_size)
+                + pm_k.shape[3:]
+            )
+            acc = run_span(acc0, a_main, pm_main, steps)
+        else:
+            acc = run_span(acc0, a_blocks[:main], pm_k[:main], 1)
+            main = nblocks if steps == 1 else main
+        if main < nblocks:
+            acc = run_span(acc, a_blocks[main:], pm_k[main:], 1)
         return acc
 
     def block_step(acc, inputs):

@@ -140,3 +140,32 @@ def test_circuit_encrypted_w4(prepared_ctx, op):
     )
     want = plain_semantics(op, va, vb, width)
     assert got == want, (op, got, want)
+
+
+def test_fheuint_prepared_encrypt_sk_debug_path():
+    """The debug factory (direct constant-GGSW bit encryption, no packed
+    FheUint / circuit bootstrap) drives the same BDD evaluator correctly
+    (FheUintPreparedEncryptSk, fhe_uint_prepared.rs:176-225)."""
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
+    from poulpy_tpu.hal.module import get_module
+    from poulpy_tpu.hal.source import Source
+
+    m = get_module(64, 4)
+    base2k, k_ct, k_ggsw, dnum = 17, 51, 51, 3
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x0d" * 32), Source(b"\x0e" * 32)
+    sk = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk)
+    width, va, vb = 4, 13, 7
+    pa = bddm.fheuint_prepared_encrypt_sk(
+        m, va, width, skp, base2k, k_ggsw, dnum, xe, xa
+    )
+    pb = bddm.fheuint_prepared_encrypt_sk(
+        m, vb, width, skp, base2k, k_ggsw, dnum, xe, xa
+    )
+    out = bddm.fheuint_op(m, "add", pa, pb, base2k, k_ct)
+    got = bddm.fheuint_decrypt(
+        m, bddm.FheUint(glwe=out, width=width), skp
+    )
+    assert got == (va + vb) % 16

@@ -423,3 +423,52 @@ def test_fused_tensor_product_matches_jnp():
         )
     assert np.array_equal(np.asarray(d_have), np.asarray(d_want))
     assert np.array_equal(np.asarray(lin_have), np.asarray(lin_want))
+
+
+@pytest.mark.parametrize("rot_shoup", [False, True])
+def test_fused_br_block_two_steps_matches_sequential(rot_shoup):
+    """steps=2 (two whole block steps chained in ONE kernel launch, acc
+    held in VMEM) must equal two sequential single-step launches."""
+    from poulpy_tpu.backends.pallas_fused import (
+        fused_br_block_step,
+        pm_kernel_layout,
+    )
+    from poulpy_tpu.binfhe.blind_rotation import (
+        _xpow_minus1_shoup_table,
+        _xpow_minus1_table,
+    )
+
+    n = 128
+    m = get_module(n, 2, 28)
+    P = 2
+    base2k, cols, size, rows, psize, block, batch = 17, 2, 3, 3, 4, 4, 3
+    acc = jnp.asarray(
+        RNG.integers(-(2**16), 2**16, size=(batch, cols, size, n),
+                     dtype=np.int64)
+    )
+    pmats = _rand_mont(m.basis, (2, block, rows, cols, cols, psize, P, n))
+    a_vals = jnp.asarray(
+        RNG.integers(0, 2 * n, size=(batch, 2, block), dtype=np.int64)
+    )
+    rmax = min(rows, size)
+    tab = (_xpow_minus1_shoup_table if rot_shoup
+           else _xpow_minus1_table)(n, m.basis.primes)
+    with pltpu.force_tpu_interpret_mode():
+        # sequential reference: two single-step launches
+        want = acc
+        for st in range(2):
+            pm_k = jnp.swapaxes(pm_kernel_layout(pmats[st], rmax), 0, 1)
+            xp = jnp.take(tab, a_vals[:, st], axis=0).astype(jnp.int32)
+            want = fused_br_block_step(m, want, pm_k, xp, size, base2k,
+                                       t_tile=1, rot_shoup=rot_shoup)
+        # chained: one launch, steps=2
+        pm2 = pm_kernel_layout(
+            pmats.reshape((2 * block,) + pmats.shape[2:]), rmax
+        )
+        pm2 = jnp.swapaxes(pm2, 0, 1)       # [P, 2·block, KK, M, N]
+        xp2 = jnp.take(
+            tab, a_vals.reshape(batch, 2 * block), axis=0
+        ).astype(jnp.int32)
+        have = fused_br_block_step(m, acc, pm2, xp2, size, base2k,
+                                   t_tile=1, rot_shoup=rot_shoup, steps=2)
+    assert np.array_equal(np.asarray(have), np.asarray(want))

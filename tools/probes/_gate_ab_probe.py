@@ -1,0 +1,62 @@
+"""Same-process gate-bootstrap A/B over (rot_shoup, steps) (r5 item 2).
+
+Cross-process gate readings drift (r4 noted an unexplained +25% between
+sessions), so this measures all four kernel variants in ONE process with
+shared keys: env knobs are read at trace time, and each variant gets its
+own jit trace.  NAND truth-table asserted per variant.
+
+Run: timeout 3000 python tools/probes/_gate_ab_probe.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+
+def main():
+    from poulpy_tpu.binfhe import gates
+    from poulpy_tpu.hal.source import Source
+
+    params = gates.GateParams(n_lwe=568, block_size=8)
+    keys, sk = gates.keygen(params)
+    xe, xa = Source(b"\x05" * 32), Source(b"\x06" * 32)
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    b1 = np.random.default_rng(0).integers(0, 2, batch)
+    b2 = np.random.default_rng(1).integers(0, 2, batch)
+    c1 = gates.encrypt_bit(params, b1, sk, xe, xa)
+    c2 = gates.encrypt_bit(params, b2, sk, xe, xa)
+
+    for rs, steps in [(0, 1), (1, 1), (0, 2), (1, 2), (1, 4)]:
+        os.environ["POULPY_TPU_ROT_SHOUP"] = str(rs)
+        os.environ["POULPY_TPU_BR_STEPS"] = str(steps)
+        # fresh traces: the env is read at trace time and the jit cache
+        # keys on (fn, shapes) only — clear the jitted blind rotation
+        import poulpy_tpu.binfhe.blind_rotation as br
+
+        br.blind_rotation_execute_block.clear_cache()
+        out = gates.gate_nand(keys, c1, c2)
+        jax.block_until_ready(out.data)
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = gates.gate_nand(keys, c1, c2)
+        jax.block_until_ready(out.data)
+        dt = time.perf_counter() - t0
+        got = gates.decrypt_bit(out, sk)
+        ok = np.array_equal(got, 1 - (b1 & b2))
+        print(f"rot_shoup={rs} steps={steps}: "
+              f"{batch * iters / dt:.1f} gates/s  truth={'OK' if ok else 'WRONG'}",
+              flush=True)
+        assert ok
+
+
+if __name__ == "__main__":
+    main()
