@@ -449,9 +449,12 @@ def _apply(tables: NttTables, x, inverse: bool):
     # fold the prime axis into rows (free reshape: [..., P, N] is P-minor)
     xm = x.reshape((-1, n)).astype(jnp.int32)
     m_rows = xm.shape[0]
-    # smallest multiple of P ≥ 8 (rows are prime-folded: row r → prime
-    # r % P, so the block must cover whole prime groups; P=5 → 10)
-    rows_block = P * max(1, -(-8 // P))
+    # rows are prime-folded (row r → prime r % P) so the block must cover
+    # whole prime groups, AND Mosaic requires the sublane block dimension
+    # divisible by 8 → lcm(P, 8) (P=5 → 40)
+    import math
+
+    rows_block = math.lcm(P, 8)
     pad = (-m_rows) % rows_block
     if pad:
         xm = jnp.pad(xm, ((0, pad), (0, 0)))

@@ -1,11 +1,13 @@
 """Same-process gate-bootstrap A/B over (rot_shoup, steps) (r5 item 2).
 
 Cross-process gate readings drift (r4 noted an unexplained +25% between
-sessions), so this measures all four kernel variants in ONE process with
+sessions), so this measures all kernel variants in ONE process with
 shared keys: env knobs are read at trace time, and each variant gets its
-own jit trace.  NAND truth-table asserted per variant.
+own jit trace (the jitted blind rotation cache is cleared between).
+NAND truth-table asserted per variant.
 
-Run: timeout 3000 python tools/probes/_gate_ab_probe.py
+Run:      timeout 3000 python tools/probes/_gate_ab_probe.py
+Blocks:   timeout 3000 python tools/probes/_gate_ab_probe.py --blocks
 """
 
 import os
@@ -21,11 +23,10 @@ import numpy as np
 jax.config.update("jax_enable_x64", True)
 
 
-def main():
+def _measure(params, variants):
     from poulpy_tpu.binfhe import gates
     from poulpy_tpu.hal.source import Source
 
-    params = gates.GateParams(n_lwe=568, block_size=8)
     keys, sk = gates.keygen(params)
     xe, xa = Source(b"\x05" * 32), Source(b"\x06" * 32)
     batch = int(os.environ.get("BENCH_BATCH", "1024"))
@@ -34,11 +35,9 @@ def main():
     c1 = gates.encrypt_bit(params, b1, sk, xe, xa)
     c2 = gates.encrypt_bit(params, b2, sk, xe, xa)
 
-    for rs, steps in [(0, 1), (1, 1), (0, 2), (1, 2), (1, 4)]:
+    for rs, steps in variants:
         os.environ["POULPY_TPU_ROT_SHOUP"] = str(rs)
         os.environ["POULPY_TPU_BR_STEPS"] = str(steps)
-        # fresh traces: the env is read at trace time and the jit cache
-        # keys on (fn, shapes) only — clear the jitted blind rotation
         import poulpy_tpu.binfhe.blind_rotation as br
 
         br.blind_rotation_execute_block.clear_cache()
@@ -52,10 +51,29 @@ def main():
         dt = time.perf_counter() - t0
         got = gates.decrypt_bit(out, sk)
         ok = np.array_equal(got, 1 - (b1 & b2))
-        print(f"rot_shoup={rs} steps={steps}: "
-              f"{batch * iters / dt:.1f} gates/s  truth={'OK' if ok else 'WRONG'}",
-              flush=True)
+        print(f"n_lwe={params.n_lwe} block={params.block_size} "
+              f"rot_shoup={rs} steps={steps}: "
+              f"{batch * iters / dt:.1f} gates/s  "
+              f"truth={'OK' if ok else 'WRONG'}", flush=True)
         assert ok
+
+
+def main():
+    from poulpy_tpu.binfhe import gates
+
+    if "--blocks" in sys.argv:
+        # block_size sweep (VERDICT r5 item 2).  SECURITY NOTE: block-
+        # binary secrets carry log2(b+1)/b bits of entropy per coefficient,
+        # so larger blocks need more n_lwe for equal security — these rows
+        # chart the THROUGHPUT axis at comparable n_lwe, not equal-security
+        # parameterizations (the reference's own example ships b=7).
+        for n_lwe, block in [(568, 8), (576, 16), (576, 32)]:
+            _measure(
+                gates.GateParams(n_lwe=n_lwe, block_size=block), [(1, 2)]
+            )
+        return
+    _measure(gates.GateParams(n_lwe=568, block_size=8),
+             [(0, 1), (1, 1), (0, 2), (1, 2), (1, 4)])
 
 
 if __name__ == "__main__":
