@@ -269,11 +269,18 @@ def bench_ckks_mul_wide(batch=64, iters=5):
     return batch * iters / dt
 
 
+def _emit(rows, row):
+    # print incrementally: a crash in a later bench must not lose the
+    # rows already measured (~23-min run)
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
+
 def main():
     _validate_flags()   # fail fast on bad argv BEFORE the ~23-min run
     rows = []
     gbs = bench_gate_bootstrap()
-    rows.append({
+    _emit(rows, {
         "metric": "gate_bootstraps_per_s_chip_nand_n1024",
         "value": round(gbs, 1), "unit": "bootstraps/s",
         "vs_baseline": round(gbs / CPU_GATE_BOOTSTRAPS_PER_S, 3),
@@ -281,13 +288,13 @@ def main():
     # PRIMARY keyswitch latency: chained-scan on-device p50 — the number
     # comparable to the reference's per-op latency (VERDICT r3 item 6)
     dev = bench_keyswitch_device()
-    rows.append({
+    _emit(rows, {
         "metric": "keyswitch_device_latency_n2048",
         "value": round(dev, 4), "unit": "ms", "vs_baseline": None,
         "role": "primary_p50",
     })
     p50 = bench_keyswitch()
-    rows.append({
+    _emit(rows, {
         "metric": "keyswitch_p50_latency_n2048",
         "value": round(p50, 3), "unit": "ms", "vs_baseline": None,
         "role": "dispatch_overhead_diagnostic",
@@ -295,29 +302,27 @@ def main():
                 "measures the harness path, not the chip",
     })
     p50d = bench_keyswitch(donate=True)
-    rows.append({
+    _emit(rows, {
         "metric": "keyswitch_p50_donated_n2048",
         "value": round(p50d, 3), "unit": "ms", "vs_baseline": None,
         "role": "dispatch_overhead_diagnostic",
         "note": "same, with donated input buffer",
     })
     thr = bench_keyswitch_batched()
-    rows.append({
+    _emit(rows, {
         "metric": "keyswitch_throughput_n2048",
         "value": round(thr, 1), "unit": "cts/s", "vs_baseline": None,
     })
     ck = bench_ckks_mul()
-    rows.append({
+    _emit(rows, {
         "metric": "ckks_mul_rescale_per_s_n2048",
         "value": round(ck, 1), "unit": "muls/s", "vs_baseline": None,
     })
     ckw = bench_ckks_mul_wide()
-    rows.append({
+    _emit(rows, {
         "metric": "ckks_mul_wide_base2k52_per_s_n2048",
         "value": round(ckw, 1), "unit": "muls/s", "vs_baseline": None,
     })
-    for row in rows:
-        print(json.dumps(row))
     _baseline_compare(rows)
 
 
