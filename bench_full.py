@@ -215,7 +215,7 @@ def bench_ckks_mul(batch=256, iters=5):
     return batch * iters / dt
 
 
-def bench_ckks_mul_wide(batch=64, iters=5):
+def bench_ckks_mul_wide(batch=256, iters=5):
     """CKKS ct×ct at the reference NTT120 demo parameterization (base2k=52,
     k=95, HW=192 — poulpy-ckks/examples/poly2.rs:48-61): exercises the wide
     (i128-twin) big-accumulator exit (hal/wide.py) on device."""
