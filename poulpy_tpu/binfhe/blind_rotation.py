@@ -261,14 +261,19 @@ def _use_fused_br(module, brk, base2k, extra_bits=0):
 def _rot_shoup(module, use_mxu: bool) -> bool:
     """Input-side Shoup rotate in the fused VPU block kernel: needs lazy
     primes (values in [0, 2p)) and the Shoup knob on (POULPY_TPU_SHOUP).
-    POULPY_TPU_ROT_SHOUP=0 restores the output-side Montgomery rotate
-    (A/B knob, tools/probes/_gate_probe.py)."""
+
+    Default OFF: the on-device A/B (_gate_ab_probe, 2026-08-21) measured
+    +7.1% alone but a NEGATIVE interaction with the steps=2 block-step
+    chaining (+9.6% alone, the stronger lever): (1,2) read 1808.8 gates/s
+    vs (0,2)'s 1884.8 — the stacked (plain, quotient) x-power table
+    doubles the kernel's xp VMEM footprint, which steps already doubled.
+    POULPY_TPU_ROT_SHOUP=1 re-enables (wins when steps=1)."""
     import os
 
     from poulpy_tpu.backends.pallas_fused import _use_shoup
     from poulpy_tpu.backends.pallas_ntt import lazy_ok
 
-    if os.environ.get("POULPY_TPU_ROT_SHOUP", "1") == "0":
+    if os.environ.get("POULPY_TPU_ROT_SHOUP", "0") == "0":
         return False
     return (not use_mxu and lazy_ok(module.basis.primes) and _use_shoup())
 
