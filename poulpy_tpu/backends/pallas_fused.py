@@ -650,7 +650,7 @@ def _lazy_reduce(x, bound: int, p: int, target: int):
 def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                  t_tile, cols, size_a, rmax, co, psize,
                  res_size, kr, ka, offset, block, rotate, add_acc, s_size,
-                 s64_size, shoup, rot_shoup, steps,
+                 s64_size, shoup, rot_mode, steps,
                  *refs):
     it = iter(refs)
     a_ref = next(it)
@@ -709,17 +709,26 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
             add = None
             add_b = 0                           # static value bound (lazy mode)
             for bi in range(block):
-                if rotate and rot_shoup:
+                if rotate and rot_mode == 1:
                     # (X^{a_i} − 1) applied to the VMP INPUT (the external
-                    # product is linear in acc, so xp·(acc ⊡ K) = (xp·acc) ⊡ K)
-                    # — kk rows of 6-mul Shoup products instead of mdim rows of
-                    # 11-mul Montgomery products on the output (kk < mdim at
-                    # every BR config: rmax ≤ size < psize).  xp_ref stacks
-                    # (plain, Harvey quotient) per table entry.
-                    xw = xp_ref[pi, st * block + bi, 0][:, None]          # [T, 1, N]
+                    # product is linear in acc: xp·(acc ⊡ K) = (xp·acc) ⊡ K)
+                    # — kk rows of 6-mul Shoup products instead of mdim rows
+                    # of 11-mul Montgomery products on the output (kk < mdim
+                    # at every BR config: rmax ≤ size < psize).  xp_ref
+                    # stacks (plain, Harvey quotient) per table entry.
+                    # NOTE: the two-plane table doubles xp VMEM — measured
+                    # to interact negatively with steps chaining
+                    # (BENCH_NOTES r5 gate A/B).
+                    xw = xp_ref[pi, st * block + bi, 0][:, None]  # [T,1,N]
                     xq = xp_ref[pi, st * block + bi, 1][:, None]
                     # r4 < 2p < 2^29 ⇒ Shoup result < p·(1 + 2p/2^30) < 2p
                     rsrc = shoup_mul_i32_lazy(r4, xw, xq, p)
+                elif rotate and rot_mode == 2:
+                    # input-side with the SINGLE-PLANE Montgomery table:
+                    # kk rows of 9-mul lazy REDC replace mdim rows of the
+                    # same — no extra VMEM, composes with steps chaining
+                    xw = xp_ref[pi, st * block + bi][:, None]     # [T,1,N]
+                    rsrc = mont_mul_i32_lazy(r4, xw, p, qinv)     # < 2p
                 else:
                     rsrc = r4
                 acc = None
@@ -757,7 +766,7 @@ def _kernel_pipe(n, logn, primes, qinvs, ninvs, basis: PrimeBasis,
                         bk = pm_ref[pi, st * block + bi, k][None]
                         term = mont_mul_i32(ak, bk, p, qinv)         # [T, M, N]
                         acc = term if acc is None else _add_mod(acc, term, p)
-                if rotate and not rot_shoup:
+                if rotate and rot_mode == 0:
                     # xp holds Montgomery NTT(X^{a_i} − 1) (the −1 is folded
                     # into the table, _xpow_minus1_table), so the rotate-and-
                     # subtract collapses to ONE multiply
@@ -855,12 +864,12 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
              rmax: int, co: int, psize: int, res_size: int, kr: int, ka: int,
              offset: int, block: int, rotate: bool, s_size: int,
              add_acc: bool, s64_size: int = 0, shoup: bool = False,
-             rot_shoup: bool = False, steps: int = 1):
+             rot_mode: int = 0, steps: int = 1):
     logn = n.bit_length() - 1
     P = len(primes)
     kk = cols * rmax
     mdim = co * psize
-    assert not rot_shoup or lazy_ok(primes)   # Shoup rotate needs [0,2p) math
+    assert rot_mode == 0 or lazy_ok(primes)  # input rotate needs [0,2p) math
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
     ninvs = tuple(_ninv_triple(n, p) for p in primes)
     # sublane/lane-split layout (see _ntt_rows_sl): reshape every [..., N]
@@ -881,7 +890,7 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
         _kernel_pipe, n, logn, primes, qinvs, ninvs, basis,
         t_tile, cols, size_a, rmax, co, psize,
         res_size, kr, ka, offset, block, rotate, add_acc, s_size, s64_size,
-        shoup, rot_shoup, steps,
+        shoup, rot_mode, steps,
     )
     rows_a = cols * size_a
     tail = (n // 128, 128) if sl else (n,)
@@ -913,8 +922,8 @@ def _pipe_fn(n: int, primes: tuple, t_tile: int, cols: int, size_a: int,
             pm.reshape(pm.shape[:4] + tail),
         ]
         if rotate:
-            # rot_shoup: xp stacks (plain, Harvey quotient) → extra axis 2
-            xlead = ((P, steps * block, 2, t_tile) if rot_shoup
+            # rot_mode 1: xp stacks (plain, Harvey quotient) → extra axis
+            xlead = ((P, steps * block, 2, t_tile) if rot_mode == 1
                      else (P, steps * block, t_tile))
             nfix = len(xlead) - 1
             in_specs.append(
@@ -1204,11 +1213,11 @@ def fused_br_block_step(
     pm_k,                    # [P, block, KK, M, N] i32 kernel-layout pmats
     xp,                      # [..., block, P, N] Mont NTT(X^{a_i} − 1) i32,
                              # or [..., block, 2, P, N] (plain, quot) stacked
-                             # when rot_shoup
+                             # when rot_mode == 1
     res_size: int,
     base2k: int,
     t_tile: int | None = None,
-    rot_shoup: bool = False,
+    rot_mode: int = 0,
     steps: int = 1,
 ):
     """One fused block-binary CGGI step (algorithm.rs:275-368):
@@ -1218,10 +1227,12 @@ def fused_br_block_step(
     with the (X^{a_i} − 1) factor supplied pre-transformed via
     _xpow_minus1_table (one in-kernel multiply per block element).
 
-    `rot_shoup` (lazy primes): the factor is applied to the VMP *input*
-    (the product is linear in acc) as a Harvey/Shoup multiply from the
-    stacked (plain, quotient) table — kk rows of 6-mul Shoup products
-    replace mdim rows of 11-mul Montgomery products.
+    `rot_mode` (lazy primes): 0 applies the factor Montgomery-style to
+    the mdim VMP OUTPUT rows (the r4 kernel); 1 applies it to the kk VMP
+    *input* rows (the product is linear in acc) as a Harvey/Shoup multiply
+    from a stacked (plain, quotient) table; 2 applies it input-side from
+    the single-plane Montgomery table (no extra VMEM — the default,
+    composing with `steps`).
 
     bit-exact vs the jnp block path in blind_rotation_execute_block.
     """
@@ -1242,7 +1253,7 @@ def fused_br_block_step(
                         b_tot, t_tile)
     a32 = acc.reshape(b_tot, cols * size_a, n).astype(jnp.int32)
     pad = (-b_tot) % t_tile
-    if rot_shoup:
+    if rot_mode == 1:
         xp32 = xp.reshape(b_tot, blk_tot, 2, P, n).astype(jnp.int32)
         xp32 = jnp.transpose(xp32, (3, 1, 2, 0, 4))  # [P, blk, 2, B, N]
         if pad:
@@ -1261,7 +1272,7 @@ def fused_br_block_step(
     out = _pipe_fn(
         n, module.basis.primes, t_tile, cols, size_a, rmax, cols, psize,
         res_size, base2k, base2k, 0, block, True, 0, True,
-        0, _use_shoup(), rot_shoup, steps,
+        0, _use_shoup(), rot_mode, steps,
     )(a32.reshape(bp * cols * size_a, n), pm_k, xp=xp32)
 
     out = out.reshape(bp, cols, res_size, n)[:b_tot]

@@ -258,24 +258,23 @@ def _use_fused_br(module, brk, base2k, extra_bits=0):
     return base2k + int(extra_bits + 2).bit_length() <= 29
 
 
-def _rot_shoup(module, use_mxu: bool) -> bool:
-    """Input-side Shoup rotate in the fused VPU block kernel: needs lazy
-    primes (values in [0, 2p)) and the Shoup knob on (POULPY_TPU_SHOUP).
+def _rot_mode(module, use_mxu: bool) -> int:
+    """Rotate placement in the fused VPU block kernel (POULPY_TPU_ROT_MODE):
+    0 = output-side Montgomery (the r4 kernel); 1 = input-side Shoup from a
+    stacked (plain, quotient) table; 2 = input-side Montgomery from the
+    single-plane table (DEFAULT — kk < mdim rows with no extra VMEM).
 
-    Default OFF: the on-device A/B (_gate_ab_probe, 2026-08-21) measured
-    +7.1% alone but a NEGATIVE interaction with the steps=2 block-step
-    chaining (+9.6% alone, the stronger lever): (1,2) read 1808.8 gates/s
-    vs (0,2)'s 1884.8 — the stacked (plain, quotient) x-power table
-    doubles the kernel's xp VMEM footprint, which steps already doubled.
-    POULPY_TPU_ROT_SHOUP=1 re-enables (wins when steps=1)."""
+    On-device A/B (_gate_ab_probe, 2026-08-21): mode 1 alone +7.1% but it
+    interacts negatively with steps=2 chaining (+9.6% alone, the stronger
+    lever) — the two-plane table doubles xp VMEM on top of steps'
+    doubling; mode 2 keeps the input-side row saving without the VMEM."""
     import os
 
-    from poulpy_tpu.backends.pallas_fused import _use_shoup
     from poulpy_tpu.backends.pallas_ntt import lazy_ok
 
-    if os.environ.get("POULPY_TPU_ROT_SHOUP", "0") == "0":
-        return False
-    return (not use_mxu and lazy_ok(module.basis.primes) and _use_shoup())
+    if use_mxu or not lazy_ok(module.basis.primes):
+        return 0
+    return int(os.environ.get("POULPY_TPU_ROT_MODE", "2"))
 
 
 def _use_mxu_br(module, brk, base2k):
@@ -456,8 +455,8 @@ def blind_rotation_execute_block(
         # kernel takes the (plain, quotient) Shoup table applied to the VMP
         # input instead (rot_shoup — fewer rows AND fewer multiplies)
         use_mxu = _use_mxu_br(module, brk, base2k)
-        rot_shoup = _rot_shoup(module, use_mxu)
-        if rot_shoup:
+        rot_mode = _rot_mode(module, use_mxu)
+        if rot_mode == 1:
             xpow = _xpow_minus1_shoup_table(n, module.basis.primes)
         else:
             xpow = _xpow_minus1_table(n, module.basis.primes)
@@ -501,7 +500,7 @@ def blind_rotation_execute_block(
                 apos = jnp.moveaxis(a_blk, 0, -1) & (2 * n - 1)
                 xp = jnp.take(xpow32, apos, axis=0)
                 kw = {} if use_mxu else {
-                    "rot_shoup": rot_shoup, "steps": st
+                    "rot_mode": rot_mode, "steps": st
                 }
                 return br_step_fn(
                     module, acc, pm_blk, xp, size, base2k, **kw

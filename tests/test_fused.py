@@ -243,9 +243,9 @@ def test_fused_product_small64_matches_jnp(prime_bits, s64_size):
         pytest.param(2, 28, 3, marks=pytest.mark.slow),
     ],
 )
-@pytest.mark.parametrize("rot_shoup", [False, True])
+@pytest.mark.parametrize("rot_mode", [0, 1, 2])
 def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch,
-                                         rot_shoup):
+                                         rot_mode):
     """One fused block-binary CGGI step vs the stage-by-stage jnp math
     (blind_rotation_execute_block's block_step, algorithm.rs:275-368)."""
     from poulpy_tpu.backends.pallas_fused import (
@@ -262,8 +262,8 @@ def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch,
 
     n = 128
     m = get_module(n, nprimes, prime_bits)
-    if rot_shoup and not lazy_ok(m.basis.primes):
-        pytest.skip("input-side Shoup rotate needs lazy primes")
+    if rot_mode and not lazy_ok(m.basis.primes):
+        pytest.skip("input-side rotate needs lazy primes")
     P = nprimes
     base2k, cols, size, rows, psize, block = 17, 2, 3, 3, 4, 4
     t = m.tables
@@ -295,13 +295,13 @@ def test_fused_br_block_step_matches_jnp(nprimes, prime_bits, batch,
         # fused kernel
         rmax = min(rows, size)
         pm_k = jnp.swapaxes(pm_kernel_layout(pmats, rmax), 0, 1)
-        if rot_shoup:
+        if rot_mode == 1:
             xpm1 = _xpow_minus1_shoup_table(n, m.basis.primes)
         else:
             xpm1 = _xpow_minus1_table(n, m.basis.primes)
         xp_in = jnp.take(xpm1, a_vals, axis=0).astype(jnp.int32)
         have = fused_br_block_step(m, acc, pm_k, xp_in, size, base2k,
-                                   t_tile=2, rot_shoup=rot_shoup)
+                                   t_tile=2, rot_mode=rot_mode)
     assert np.array_equal(np.asarray(have), np.asarray(want))
 
 
@@ -425,8 +425,8 @@ def test_fused_tensor_product_matches_jnp():
     assert np.array_equal(np.asarray(lin_have), np.asarray(lin_want))
 
 
-@pytest.mark.parametrize("rot_shoup", [False, True])
-def test_fused_br_block_two_steps_matches_sequential(rot_shoup):
+@pytest.mark.parametrize("rot_mode", [0, 1, 2])
+def test_fused_br_block_two_steps_matches_sequential(rot_mode):
     """steps=2 (two whole block steps chained in ONE kernel launch, acc
     held in VMEM) must equal two sequential single-step launches."""
     from poulpy_tpu.backends.pallas_fused import (
@@ -451,7 +451,7 @@ def test_fused_br_block_two_steps_matches_sequential(rot_shoup):
         RNG.integers(0, 2 * n, size=(batch, 2, block), dtype=np.int64)
     )
     rmax = min(rows, size)
-    tab = (_xpow_minus1_shoup_table if rot_shoup
+    tab = (_xpow_minus1_shoup_table if rot_mode == 1
            else _xpow_minus1_table)(n, m.basis.primes)
     with pltpu.force_tpu_interpret_mode():
         # sequential reference: two single-step launches
@@ -460,7 +460,7 @@ def test_fused_br_block_two_steps_matches_sequential(rot_shoup):
             pm_k = jnp.swapaxes(pm_kernel_layout(pmats[st], rmax), 0, 1)
             xp = jnp.take(tab, a_vals[:, st], axis=0).astype(jnp.int32)
             want = fused_br_block_step(m, want, pm_k, xp, size, base2k,
-                                       t_tile=1, rot_shoup=rot_shoup)
+                                       t_tile=1, rot_mode=rot_mode)
         # chained: one launch, steps=2
         pm2 = pm_kernel_layout(
             pmats.reshape((2 * block,) + pmats.shape[2:]), rmax
@@ -470,5 +470,5 @@ def test_fused_br_block_two_steps_matches_sequential(rot_shoup):
             tab, a_vals.reshape(batch, 2 * block), axis=0
         ).astype(jnp.int32)
         have = fused_br_block_step(m, acc, pm2, xp2, size, base2k,
-                                   t_tile=1, rot_shoup=rot_shoup, steps=2)
+                                   t_tile=1, rot_mode=rot_mode, steps=2)
     assert np.array_equal(np.asarray(have), np.asarray(want))

@@ -36,7 +36,7 @@ def _measure(params, variants):
     c2 = gates.encrypt_bit(params, b2, sk, xe, xa)
 
     for rs, steps in variants:
-        os.environ["POULPY_TPU_ROT_SHOUP"] = str(rs)
+        os.environ["POULPY_TPU_ROT_MODE"] = str(rs)
         os.environ["POULPY_TPU_BR_STEPS"] = str(steps)
         import poulpy_tpu.binfhe.blind_rotation as br
 
@@ -52,7 +52,7 @@ def _measure(params, variants):
         got = gates.decrypt_bit(out, sk)
         ok = np.array_equal(got, 1 - (b1 & b2))
         print(f"n_lwe={params.n_lwe} block={params.block_size} "
-              f"rot_shoup={rs} steps={steps}: "
+              f"rot_mode={rs} steps={steps}: "
               f"{batch * iters / dt:.1f} gates/s  "
               f"truth={'OK' if ok else 'WRONG'}", flush=True)
         assert ok
@@ -69,11 +69,15 @@ def main():
         # parameterizations (the reference's own example ships b=7).
         for n_lwe, block in [(568, 8), (576, 16), (576, 32)]:
             _measure(
-                gates.GateParams(n_lwe=n_lwe, block_size=block), [(1, 2)]
+                gates.GateParams(n_lwe=n_lwe, block_size=block), [(2, 2)]
             )
         return
+    # (0,1)/(1,1)/(0,2)/(1,2) measured 2026-08-21: 1719.8 / 1842.7 /
+    # 1884.8 / 1808.8 gates/s (BENCH_NOTES r5 gate A/B).  Remaining
+    # question: input-Montgomery (mode 2, single-plane table) composed
+    # with steps, and deeper step chains.
     _measure(gates.GateParams(n_lwe=568, block_size=8),
-             [(0, 1), (1, 1), (0, 2), (1, 2), (1, 4)])
+             [(0, 2), (2, 2), (2, 4), (0, 4)])
 
 
 if __name__ == "__main__":

@@ -28,8 +28,8 @@ def run(batch):
 
 
 def main():
-    mode = os.environ.get("POULPY_TPU_ROT_SHOUP", "1")
-    print(f"rot_shoup={mode}")
+    mode = os.environ.get("POULPY_TPU_ROT_MODE", "2")
+    print(f"rot_mode={mode}")
     if "--sweep" in sys.argv:
         for b in (1024, 2048, 4096):
             print(f"batch={b}: {run(b):.1f} gates/s", flush=True)
