@@ -27,13 +27,16 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 
-def bench_circuit_bootstrap(batch=32, iters=3, rank=1):
+def bench_circuit_bootstrap(batch=32, iters=3, rank=1, block_size=1,
+                            n_lwe=574):
     """Batched LWE-bit → GGSW circuit bootstraps per second.
 
     Mirrors the reference bench parameterization (circuit_bootstrapping.rs
     via bench_suite/schemes/circuit_bootstrapping.rs:47-81) except rank
     (reference uses rank 2; rank is a parameter here — pass rank=2 for the
-    exact twin, rank=1 for the common deployment shape)."""
+    exact twin, rank=1 for the common deployment shape).  block_size > 1
+    additionally measures the block-binary CGGI routing (the reference's
+    own bdd_arithmetic config bootstraps through block 7 keys)."""
     from poulpy_tpu.binfhe.circuit_bootstrapping import (
         circuit_bootstrap,
         circuit_bootstrapping_keygen,
@@ -43,13 +46,16 @@ def bench_circuit_bootstrap(batch=32, iters=3, rank=1):
     from poulpy_tpu.hal.module import get_module
     from poulpy_tpu.hal.source import Source
 
-    n, n_lwe, base2k = 1024, 574, 13
+    n, base2k = 1024, 13
     k_keys, dnum_keys = 52, 3
     k_res, dnum_res = 26, 2
     m = get_module(n, 2, 28)
     src = Source(bytes(32))
     xe, xa = Source(b"\x01" * 32), Source(b"\x02" * 32)
-    sk_lwe = src.binary_prob((n_lwe,))
+    if block_size > 1:
+        sk_lwe = src.binary_block(n_lwe, block_size)
+    else:
+        sk_lwe = src.binary_prob((n_lwe,))
     sk_glwe = enc.secret_new(m, rank, src)
     skp = glwe_secret_prepare(m, sk_glwe)
     key = circuit_bootstrapping_keygen(
@@ -57,7 +63,7 @@ def bench_circuit_bootstrap(batch=32, iters=3, rank=1):
         k_brk=k_keys, dnum_brk=dnum_keys,
         k_atk=k_keys, dnum_atk=dnum_keys,
         k_tsk=k_keys, dnum_tsk=dnum_keys,
-        source_xe=xe, source_xa=xa,
+        source_xe=xe, source_xa=xa, block_size=block_size,
     )
     bits = np.arange(batch) % 2
     size = -(-13 // base2k)
@@ -148,7 +154,13 @@ def main():
         "metric": "circuit_bootstraps_per_s_chip_n1024",
         "value": round(cbt, 2), "unit": "cbt/s", "vs_baseline": None,
         "config": "ref circuit_bootstrapping.rs (rank 1)",
-    }))
+    }), flush=True)
+    cbt_b = bench_circuit_bootstrap(block_size=8, n_lwe=576)
+    print(json.dumps({
+        "metric": "circuit_bootstraps_block8_per_s_chip_n1024",
+        "value": round(cbt_b, 2), "unit": "cbt/s", "vs_baseline": None,
+        "config": "block-binary routing (the bdd_arithmetic.rs CBT shape)",
+    }), flush=True)
     add_s, prep_s = bench_u32_add()
     print(json.dumps({
         "metric": "fheuint_u32_add_per_s_chip_n1024",

@@ -533,3 +533,54 @@ def test_fheuint_prepare_rank_reduction_ks_glwe():
     out = bddm.fheuint_op_1w(m, "identity", prep, base2k, 51)
     got = bddm.fheuint_decrypt(m, bddm.FheUint(glwe=out, width=width), skp1)
     assert got == val, got
+
+
+def test_block_rotation_steps_span_bit_exact(monkeypatch):
+    """The steps=2 span grouping (pairs + odd remainder) through the FUSED
+    branch must match both the steps=1 fused run and the jnp block path
+    (nblocks=3 exercises the remainder)."""
+    import os
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    from poulpy_tpu import backends
+    from poulpy_tpu.binfhe.blind_rotation import (
+        blind_rotation_execute_block,
+        blind_rotation_key_encrypt_sk,
+    )
+    from poulpy_tpu.binfhe.lut import lookup_table_new
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
+    from poulpy_tpu.hal.module import get_module
+    from poulpy_tpu.hal.source import Source
+
+    m = get_module(64, 2, 28)            # lazy primes: fused path eligible
+    base2k, k_ct, k_brk = 17, 34, 68
+    src = Source(b"\x11" * 32)
+    xe, xa = Source(b"\x12" * 32), Source(b"\x13" * 32)
+    n_lwe, block = 12, 4                 # 3 blocks: steps=2 -> 1 pair + 1
+    sk_lwe = src.binary_block(n_lwe, block)
+    skp = glwe_secret_prepare(m, enc.secret_new(m, 1, src))
+    brk = blind_rotation_key_encrypt_sk(
+        m, jnp.asarray(sk_lwe), skp, base2k, k_brk, 4, xe, xa
+    )
+    lut = lookup_table_new(m.n, base2k, k_ct, np.arange(8), f_k=6)
+    pt = np.zeros((3, 2, 1), dtype=np.int64)
+    pt[:, 0, 0] = np.array([1, 2, 3]) << (base2k - 4)
+    lwe = enc.lwe_encrypt_sk(
+        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, k_ct, xe, xa
+    )
+
+    want = blind_rotation_execute_block(m, lwe, lut, brk, block)  # jnp path
+
+    monkeypatch.setattr(backends, "use_fused", lambda: True)
+    outs = {}
+    for steps in ("1", "2"):
+        monkeypatch.setenv("POULPY_TPU_BR_STEPS", steps)
+        blind_rotation_execute_block.clear_cache()
+        with pltpu.force_tpu_interpret_mode():
+            outs[steps] = blind_rotation_execute_block.__wrapped__(
+                m, lwe, lut, brk, block
+            )
+    assert np.array_equal(np.asarray(outs["1"]), np.asarray(want))
+    assert np.array_equal(np.asarray(outs["2"]), np.asarray(want))
