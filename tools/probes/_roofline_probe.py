@@ -1,19 +1,27 @@
-"""Roofline accounting for the fused external-product mega-kernel.
+"""Roofline accounting for the fused VPU mega-kernels.
 
 Traces the kernel body (_kernel_pipe) to a jaxpr with fake refs and tallies
 every vector primitive, weighted by (elements / VPU width) x per-op cost
 from the measured VPU cost model (_vpu_probe.py: i32 mul ~ 2x add; roll
-measured separately).  Prints ops/ext-product and the implied single-chip
+measured separately).  Prints ops/product and the implied single-chip
 ceiling at the measured VPU issue rate.
 
-Usage:  env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python _roofline_probe.py
+Modes:
+  (default)   external-product headline config (N=2048, P=2)
+  --gate      gate-bootstrap BR block-step config (N=1024, block-binary):
+              ops per block step and the implied gates/s ceiling at
+              n_lwe/block sequential steps per gate (VERDICT r5 item 2's
+              roofline-proof arm)
+
+Usage:  env JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python _roofline_probe.py [--gate]
 """
 
 import os
+import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 
-import functools
 from collections import Counter
 
 import jax
@@ -23,15 +31,23 @@ import numpy as np
 jax.config.update("jax_enable_x64", True)
 
 from poulpy_tpu.backends import pallas_fused as pf
-from poulpy_tpu.backends.pallas_ntt import _stage_twiddles
+from poulpy_tpu.backends.pallas_ntt import _stage_twiddles, _stage_twiddles_shoup
 from poulpy_tpu.hal.primes import R, PrimeBasis, ntt_primes
 
 # headline config: N=2048, P=2 (28-bit lazy), ci=2, size_a=3, rows=3,
 # co=2, psize=4, res_size=3, base2k=17
-N = 2048
-T_TILE = 8
-CONFIG = dict(cols=2, size_a=3, rmax=3, co=2, psize=4, res_size=3,
-              kr=17, ka=17)
+EXT_CONFIG = dict(n=2048, t_tile=8, cols=2, size_a=3, rmax=3, co=2, psize=4,
+                  res_size=3, kr=17, ka=17, block=1, rotate=False,
+                  add_acc=False, rot_mode=0, steps=1)
+
+# gate-bootstrap BR block step (gates.GateParams defaults): N=1024, rank 1
+# (cols=co=2), acc k_ct=34/base2k=17 -> size_a=res_size=2 so the gadget
+# decomposition has rmax=2 rows (acc limbs, not the key's dnum=4),
+# k_brk=68 -> psize=4, block-binary block=8, input-Montgomery rotate
+# (rot_mode=2, the r5 default)
+GATE_CONFIG = dict(n=1024, t_tile=8, cols=2, size_a=2, rmax=2, co=2, psize=4,
+                   res_size=2, kr=17, ka=17, block=8, rotate=True,
+                   add_acc=True, rot_mode=2, steps=1)
 
 # measured VPU cost weights in "add-equivalent 8x128-register ops"
 # (from _vpu_probe.py slopes on the v5e chip; see BENCH_NOTES.md)
@@ -59,21 +75,19 @@ class _Ref:
         return self.arr[idx]
 
 
-def trace_kernel(n, prime_bits=28, sl=True, shoup=False):
+def trace_kernel(cfg, prime_bits=28, shoup=False):
+    n, t_tile = cfg["n"], cfg["t_tile"]
     primes = ntt_primes(2, 1 << prime_bits)
     logn = n.bit_length() - 1
     P = len(primes)
     qinvs = tuple((-pow(p, -1, R)) % R for p in primes)
-    ninvs = tuple(pow(n, -1, p) * R % p for p in primes)
+    ninvs = tuple(pf._ninv_triple(n, p) for p in primes)
     basis = PrimeBasis(primes)
-    c = CONFIG
-    kk = c["cols"] * c["rmax"]
-    mdim = c["co"] * c["psize"]
-    tail = (n // 128, 128) if sl else (n,)
+    kk = cfg["cols"] * cfg["rmax"]
+    mdim = cfg["co"] * cfg["psize"]
+    tail = (n,)
 
     if shoup:
-        from poulpy_tpu.backends.pallas_ntt import _stage_twiddles_shoup
-
         wf = _stage_twiddles_shoup(primes, n, False, P).reshape(
             (logn, 2, P) + tail)
         wi = _stage_twiddles_shoup(primes, n, True, P).reshape(
@@ -88,23 +102,34 @@ def trace_kernel(n, prime_bits=28, sl=True, shoup=False):
         def __setitem__(self, idx, v):
             out["v"] = v
 
-    def run(a, pm):
+    blk_tot = cfg["block"] * cfg["steps"]
+
+    def run(a, pm, xp):
+        refs = [_Ref(a), _Ref(jnp.asarray(wf)), _Ref(jnp.asarray(wi)),
+                _Ref(pm)]
+        if cfg["rotate"]:
+            refs.append(_Ref(xp))
+        refs.append(_ORef())
         pf._kernel_pipe(
             n, logn, primes, qinvs, ninvs, basis,
-            T_TILE, c["cols"], c["size_a"], c["rmax"], c["co"], c["psize"],
-            c["res_size"], c["kr"], c["ka"], 0, 1, False, False, 0, 0,
-            shoup,
-            _Ref(a), _Ref(jnp.asarray(wf)), _Ref(jnp.asarray(wi)),
-            _Ref(pm), _ORef(),
+            t_tile, cfg["cols"], cfg["size_a"], cfg["rmax"], cfg["co"],
+            cfg["psize"], cfg["res_size"], cfg["kr"], cfg["ka"], 0,
+            cfg["block"], cfg["rotate"], cfg["add_acc"], 0, 0,
+            shoup, cfg["rot_mode"], cfg["steps"],
+            *refs,
         )
         return out["v"]
 
     a = jax.ShapeDtypeStruct(
-        (T_TILE * c["cols"] * c["size_a"],) + tail, jnp.int32
+        (t_tile * cfg["cols"] * cfg["size_a"],) + tail, jnp.int32
     )
-    pm = jax.ShapeDtypeStruct((P, 1, kk, mdim) + tail, jnp.int32)
+    pm = jax.ShapeDtypeStruct((P, blk_tot, kk, mdim) + tail, jnp.int32)
+    if cfg["rot_mode"] == 1:
+        xp = jax.ShapeDtypeStruct((P, blk_tot, 2, t_tile) + tail, jnp.int32)
+    else:
+        xp = jax.ShapeDtypeStruct((P, blk_tot, t_tile) + tail, jnp.int32)
     with jax.enable_x64(False):
-        return jax.make_jaxpr(run)(a, pm)
+        return jax.make_jaxpr(run)(a, pm, xp)
 
 
 def tally(jaxpr):
@@ -140,11 +165,31 @@ def tally(jaxpr):
 
 
 def main():
-    for sl, shoup in ((False, False), (False, True)):
-        jx = trace_kernel(N, 28, sl, shoup)
+    if "--gate" in sys.argv:
+        # BR block-step roofline: ops per step, then gates/s ceiling for
+        # n_lwe=568 / block=8 = 71 sequential steps per gate (keyswitch +
+        # extract excluded — they are < 3% of the measured gate budget)
+        for n_lwe, block in ((568, 8), (576, 16), (576, 32)):
+            cfg = dict(GATE_CONFIG, block=block, steps=1)
+            jx = trace_kernel(cfg, 28, shoup=True)
+            total, counts = tally(jx)
+            per_step = total / cfg["t_tile"]
+            nsteps = n_lwe // block
+            print(f"--- BR block step (N={cfg['n']}, n_lwe={n_lwe}, "
+                  f"block={block}, rot_mode={cfg['rot_mode']}) ---")
+            print("  primitives:", dict(counts.most_common(12)))
+            print(f"  weighted vreg-ops / block step: {per_step:,.0f}")
+            print(f"  weighted vreg-ops / gate ({nsteps} steps): "
+                  f"{per_step * nsteps:,.0f}")
+            for rate_gops in (3.76, 1.88):
+                print(f"  gates/s ceiling @ {rate_gops} Gvop/s: "
+                      f"{rate_gops*1e9/(per_step*nsteps):,.0f}")
+        return
+    for shoup in (False, True):
+        jx = trace_kernel(EXT_CONFIG, 28, shoup)
         total, counts = tally(jx)
-        per_product = total / T_TILE
-        print(f"--- layout [{N}] flat, "
+        per_product = total / EXT_CONFIG["t_tile"]
+        print(f"--- layout [{EXT_CONFIG['n']}] flat, "
               f"{'Shoup' if shoup else 'Montgomery'} butterflies ---")
         top = counts.most_common(12)
         print("  primitives:", dict(top))
