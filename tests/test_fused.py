@@ -472,3 +472,54 @@ def test_fused_br_block_two_steps_matches_sequential(rot_mode):
         have = fused_br_block_step(m, acc, pm2, xp2, size, base2k,
                                    t_tile=1, rot_mode=rot_mode, steps=2)
     assert np.array_equal(np.asarray(have), np.asarray(want))
+
+
+def test_fused_br_block16_matches_jnp():
+    """block=16 kernel-shape generalization (the --blocks sweep configs):
+    the fused step must stay bit-exact vs the jnp math when the per-launch
+    pmat carries 16 block elements (4x the tested-everywhere block=4)."""
+    from poulpy_tpu.backends.pallas_fused import (
+        fused_br_block_step,
+        pm_kernel_layout,
+    )
+    from poulpy_tpu.binfhe.blind_rotation import (
+        _xpow_minus1_table,
+        _xpow_table,
+    )
+    from poulpy_tpu.hal.ntt import mont_mul
+
+    n = 128
+    m = get_module(n, 2, 28)
+    P = 2
+    base2k, cols, size, rows, psize, block, batch = 17, 2, 2, 2, 4, 16, 2
+    t = m.tables
+    acc = jnp.asarray(
+        RNG.integers(-(2**16), 2**16, size=(batch, cols, size, n),
+                     dtype=np.int64)
+    )
+    pmats = _rand_mont(m.basis, (block, rows, cols, cols, psize, P, n))
+    a_vals = jnp.asarray(
+        RNG.integers(0, 2 * n, size=(batch, block), dtype=np.int64)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        xpow = _xpow_table(n, m.basis.primes)
+        acc_dft = dft.dft_apply(m, acc)
+        add_dft = None
+        for i in range(block):
+            vmp = dft.vmp_apply(m, acc_dft, pmats[i])
+            xp = jnp.take(xpow, a_vals[:, i], axis=0)
+            rot = mont_mul(vmp, xp[:, None, None], t.p[:, None],
+                           t.qinv[:, None])
+            term = dft.dft_sub(m, rot, vmp)
+            add_dft = term if add_dft is None else dft.dft_add(m, add_dft, term)
+        big = dft.idft_apply(m, add_dft)
+        big = big + dft._align_limbs(acc, big, big.shape[-2], limb_axis=-2)[0]
+        want = dft.big_normalize(m, size, base2k, big, base2k)
+
+        rmax = min(rows, size)
+        pm_k = jnp.swapaxes(pm_kernel_layout(pmats, rmax), 0, 1)
+        xpm1 = _xpow_minus1_table(n, m.basis.primes)
+        xp_in = jnp.take(xpm1, a_vals, axis=0).astype(jnp.int32)
+        have = fused_br_block_step(m, acc, pm_k, xp_in, size, base2k,
+                                   t_tile=2, rot_mode=2)
+    assert np.array_equal(np.asarray(have), np.asarray(want))
