@@ -27,6 +27,18 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
 
+def _floor_gate(dt, iters, floor_ms=3.0):
+    """Reject timings below the per-dispatch plausibility floor (~3 ms
+    through the axon tunnel): a sub-floor reading means the device never
+    re-executed and the number would measure the RPC cache, not compute."""
+    per_iter_ms = dt * 1e3 / iters
+    if per_iter_ms < floor_ms:
+        raise RuntimeError(
+            f"implausible timing: {per_iter_ms:.3f} ms/iter is below the "
+            f"{floor_ms} ms dispatch floor — result discarded"
+        )
+
+
 def bench_circuit_bootstrap(batch=32, iters=3, rank=1, block_size=1,
                             n_lwe=574):
     """Batched LWE-bit → GGSW circuit bootstraps per second.
@@ -69,23 +81,31 @@ def bench_circuit_bootstrap(batch=32, iters=3, rank=1, block_size=1,
     size = -(-13 // base2k)
     pt = np.zeros((batch, size, 1), dtype=np.int64)
     pt[:, 0, 0] = bits << (base2k - 2)
-    lwe = enc.lwe_encrypt_sk(
-        None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, 13, xe, xa
-    )
+    # one DISTINCT encrypted batch per timed iteration: repeated dispatch
+    # of byte-identical (executable, args) pairs through the axon tunnel
+    # has been observed to return without re-executing (the 143k cbt/s
+    # artifact, BENCH_NOTES 2026-08-21), so identical-input loops measure
+    # the RPC layer, not the chip
+    lwes = [
+        enc.lwe_encrypt_sk(
+            None, jnp.asarray(pt), jnp.asarray(sk_lwe), base2k, 13, xe, xa
+        )
+        for _ in range(iters + 1)
+    ]
 
     @jax.jit
     def step(data):
         return circuit_bootstrap(
-            m, lwe.replace(data=data), 1, key, dnum_res, k_res
+            m, lwes[0].replace(data=data), 1, key, dnum_res, k_res
         ).data
 
-    out = step(lwe.data)
+    out = step(lwes[-1].data)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = step(lwe.data)
-    jax.block_until_ready(out)
+    outs = [step(lwes[i].data) for i in range(iters)]
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
+    _floor_gate(dt, iters)
     return batch * iters / dt
 
 
@@ -141,38 +161,55 @@ def bench_u32_add(width=32, iters=3):
     out = add_op(pa, pb)
     jax.block_until_ready(out.data)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = add_op(pa, pb)
-    jax.block_until_ready(out.data)
+    # alternate operand order so no timed dispatch repeats the previous
+    # (executable, args) pair byte-identically (see _floor_gate)
+    outs = [add_op(pa, pb) if i % 2 else add_op(pb, pa)
+            for i in range(iters)]
+    jax.block_until_ready([o.data for o in outs])
     dt = time.perf_counter() - t0
+    _floor_gate(dt, iters)
     return iters / dt, prep_s
 
 
 def main():
-    cbt = bench_circuit_bootstrap()
-    print(json.dumps({
-        "metric": "circuit_bootstraps_per_s_chip_n1024",
-        "value": round(cbt, 2), "unit": "cbt/s", "vs_baseline": None,
-        "config": "ref circuit_bootstrapping.rs (rank 1)",
-    }), flush=True)
-    cbt_b = bench_circuit_bootstrap(block_size=8, n_lwe=576)
-    print(json.dumps({
-        "metric": "circuit_bootstraps_block8_per_s_chip_n1024",
-        "value": round(cbt_b, 2), "unit": "cbt/s", "vs_baseline": None,
-        "config": "block-binary routing (the bdd_arithmetic.rs CBT shape)",
-    }), flush=True)
-    add_s, prep_s = bench_u32_add()
-    print(json.dumps({
-        "metric": "fheuint_u32_add_per_s_chip_n1024",
-        "value": round(add_s, 3), "unit": "ops/s", "vs_baseline": None,
-        "config": "ref bdd_arithmetic.rs Add",
-    }))
-    print(json.dumps({
-        "metric": "fheuint_u32_prepare_s_chip_n1024",
-        "value": round(prep_s, 2), "unit": "s", "vs_baseline": None,
-        "note": "32 circuit bootstraps + GGSW preparation per operand "
-                "(single dispatch, includes compile-adjacent overheads)",
-    }))
+    def emit(metric, unit, fn, **extra):
+        # sections emit incrementally and independently: a floor-gate
+        # rejection (or crash) in one must not lose the others' rows
+        try:
+            value = fn()
+        except Exception as e:  # noqa: BLE001 — recorded, not hidden
+            print(json.dumps({
+                "metric": metric, "value": None, "unit": unit,
+                "vs_baseline": None, "error": str(e), **extra,
+            }), flush=True)
+            return
+        print(json.dumps({
+            "metric": metric, "value": value, "unit": unit,
+            "vs_baseline": None, **extra,
+        }), flush=True)
+
+    emit("circuit_bootstraps_per_s_chip_n1024", "cbt/s",
+         lambda: round(bench_circuit_bootstrap(), 2),
+         config="ref circuit_bootstrapping.rs (rank 1)")
+    emit("circuit_bootstraps_block8_per_s_chip_n1024", "cbt/s",
+         lambda: round(bench_circuit_bootstrap(block_size=8, n_lwe=576), 2),
+         config="block-binary routing (the bdd_arithmetic.rs CBT shape)")
+    add_prep = {}
+
+    def _u32():
+        add_prep["add"], add_prep["prep"] = bench_u32_add()
+        return round(add_prep["add"], 3)
+
+    emit("fheuint_u32_add_per_s_chip_n1024", "ops/s", _u32,
+         config="ref bdd_arithmetic.rs Add")
+    if "prep" in add_prep:
+        print(json.dumps({
+            "metric": "fheuint_u32_prepare_s_chip_n1024",
+            "value": round(add_prep["prep"], 2), "unit": "s",
+            "vs_baseline": None,
+            "note": "32 circuit bootstraps + GGSW preparation per operand "
+                    "(single dispatch, includes compile-adjacent overheads)",
+        }))
 
 
 if __name__ == "__main__":
