@@ -91,6 +91,12 @@ def _vmp_fn(n: int, primes: tuple, kdim: int, mdim: int, rows_block: int):
                 out_shape=jax.ShapeDtypeStruct(
                     (a.shape[0], mdim, pn), jnp.int32
                 ),
+                # large-N shapes exceed the 16 MiB default scoped-VMEM
+                # limit (N=8192: 17.82M request, bench_sweep 2026-08-21);
+                # same bump the fused mega-kernels carry
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
             )(a, pm, jnp.asarray(p_np), jnp.asarray(qinv_np))
 
     return fn
