@@ -145,14 +145,18 @@ def bench_u32_add(width=32, iters=3):
         cbt=cbt, ks_lwe=ks_lwe, n_lwe=n_lwe, base2k=base2k,
         k_ct=k_ct, dnum_ggsw=dnum_ggsw, k_ggsw=k_ggsw,
     )
-    va, vb = 255, 30       # the reference bench inputs (:117-118)
+    va, vb, vc = 255, 30, 77   # 255/30 are the reference bench inputs
+                               # (:117-118); vc makes 6 distinct pairs
     ca = bddm.fheuint_encrypt(m, va, width, skp, base2k, k_ct, xe, xa)
     cb = bddm.fheuint_encrypt(m, vb, width, skp, base2k, k_ct, xe, xa)
+    cc = bddm.fheuint_encrypt(m, vc, width, skp, base2k, k_ct, xe, xa)
     t0 = time.perf_counter()
     pa = bddm.fheuint_prepare(m, ca, key)
     pb = bddm.fheuint_prepare(m, cb, key)
     jax.block_until_ready(pa.bits[0].pmat)
     prep_s = (time.perf_counter() - t0) / 2
+    pc = bddm.fheuint_prepare(m, cc, key)
+    jax.block_until_ready(pc.bits[0].pmat)
 
     @jax.jit
     def add_op(pa_, pb_):
@@ -160,11 +164,14 @@ def bench_u32_add(width=32, iters=3):
 
     out = add_op(pa, pb)
     jax.block_until_ready(out.data)
+    # every timed dispatch uses a byte-DISTINCT (executable, args) pair —
+    # three prepared operands give six ordered pairs, and the warmup pair
+    # never recurs, so an RPC-layer result cache can serve none of them
+    # (see _floor_gate)
+    pairs = [(pb, pc), (pc, pa), (pb, pa), (pc, pb), (pa, pc)]
+    assert iters <= len(pairs), "add more operands for more timed iters"
     t0 = time.perf_counter()
-    # alternate operand order so no timed dispatch repeats the previous
-    # (executable, args) pair byte-identically (see _floor_gate)
-    outs = [add_op(pa, pb) if i % 2 else add_op(pb, pa)
-            for i in range(iters)]
+    outs = [add_op(*pairs[i]) for i in range(iters)]
     jax.block_until_ready([o.data for o in outs])
     dt = time.perf_counter() - t0
     _floor_gate(dt, iters)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import flax.struct as struct
 import jax.numpy as jnp
 import numpy as np
 
@@ -188,21 +189,24 @@ _CIRCUIT_CACHE: dict = {}
 # FheUint
 # --------------------------------------------------------------------------
 
-@dataclass
+@struct.dataclass
 class FheUint:
     """All bits of a uint packed into one GLWE, bit j at coefficient j
-    (bdd_arithmetic/ciphertexts/fhe_uint.rs:39)."""
+    (bdd_arithmetic/ciphertexts/fhe_uint.rs:39).  A pytree like every
+    other ciphertext layout, so it can cross jit boundaries as an
+    argument."""
 
     glwe: GLWECiphertext
-    width: int
+    width: int = struct.field(pytree_node=False)
 
 
-@dataclass
+@struct.dataclass
 class FheUintPrepared:
-    """Per-bit GGSW selectors (fhe_uint_prepared.rs:131)."""
+    """Per-bit GGSW selectors (fhe_uint_prepared.rs:131).  Pytree (list
+    of GGSWPrepared children, static width) — jit-passable."""
 
     bits: list[GGSWPrepared]
-    width: int
+    width: int = struct.field(pytree_node=False)
 
 
 @dataclass
