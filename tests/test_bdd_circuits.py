@@ -169,3 +169,40 @@ def test_fheuint_prepared_encrypt_sk_debug_path():
         m, bddm.FheUint(glwe=out, width=width), skp
     )
     assert got == (va + vb) % 16
+
+
+def test_fheuint_prepared_crosses_jit_boundary():
+    """FheUint layouts are flax.struct pytrees: a prepared operand must be
+    passable as a jit ARGUMENT (bench_schemes' u32-add times exactly this;
+    regression for the plain-dataclass version that raised
+    'non-array argument')."""
+    import jax
+
+    from poulpy_tpu.core import encryption as enc
+    from poulpy_tpu.core.prepared import glwe_secret_prepare
+    from poulpy_tpu.hal.module import get_module
+    from poulpy_tpu.hal.source import Source
+
+    m = get_module(64, 4)
+    base2k, k_ct, k_ggsw, dnum = 17, 51, 51, 3
+    src = Source(bytes(32))
+    xe, xa = Source(b"\x0d" * 32), Source(b"\x0e" * 32)
+    sk = enc.secret_new(m, 1, src)
+    skp = glwe_secret_prepare(m, sk)
+    width, va, vb = 4, 13, 7
+    pa = bddm.fheuint_prepared_encrypt_sk(
+        m, va, width, skp, base2k, k_ggsw, dnum, xe, xa
+    )
+    pb = bddm.fheuint_prepared_encrypt_sk(
+        m, vb, width, skp, base2k, k_ggsw, dnum, xe, xa
+    )
+
+    @jax.jit
+    def add_op(pa_, pb_):
+        return bddm.fheuint_op(m, "add", pa_, pb_, base2k, k_ct)
+
+    out = add_op(pa, pb)
+    got = bddm.fheuint_decrypt(
+        m, bddm.FheUint(glwe=out, width=width), skp
+    )
+    assert got == (va + vb) % 16
